@@ -17,5 +17,11 @@ __version__ = "0.1.0"
 
 from .ops import *  # noqa: F401,F403  (oracle layer: f/h oracles + LMOs)
 from .ops import __all__ as _ops_all
+from .algorithms import *  # noqa: F401,F403  (iteration drivers)
+from .algorithms import __all__ as _alg_all
+from .apps import *  # noqa: F401,F403  (problem factories + utils)
+from .apps import __all__ as _apps_all
+from .viz import *  # noqa: F401,F403  (plot_comparisons, plotTSE)
+from .viz import __all__ as _viz_all
 
-__all__ = list(_ops_all)
+__all__ = list(_ops_all) + list(_alg_all) + list(_apps_all) + list(_viz_all)

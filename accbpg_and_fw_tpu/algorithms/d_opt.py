@@ -1,0 +1,172 @@
+"""D-optimal design Frank-Wolfe solvers with O(mn) rank-1 iterations.
+
+TPU-native re-designs of /root/reference/accbpg/D_opt_alg.py: the classic
+Khachiyan Frank-Wolfe (``D_opt_FW``) and the Wolfe-Atwood away-step variant
+(``D_opt_FW_away``) for
+
+    minimize  -log det(V diag(x) V^T)   s.t.  x in unit simplex.
+
+Design differences from the reference (same math, faster/stabler on TPU):
+
+* the whole iteration is a jitted scan step — argmax/argmin, the rank-1
+  H/w updates, and the step-size arithmetic all stay on device (the
+  reference re-enters Python per iteration, D_opt_alg.py:51-82);
+* the determinant is tracked in LOG space (log1p-accumulated), so
+  F(x) = -logdet(VXVT) is cheap and accurate; the reference's away version
+  recomputes np.linalg.det(H) — an O(m^3) per-iteration cost — because its
+  linear-space running det drifts (D_opt_alg.py:136-138);
+* optional ``refresh_every``: re-factorize H, w and logdet from scratch every
+  R iterations to cancel rank-1 rounding drift (needed for float32 runs;
+  the reference never refreshes);
+* the away-branch logdet update uses w[j] (the reference uses w[i] at
+  D_opt_alg.py:177 — a known bug that its F[k] hides by recomputing det(H)).
+
+Sharding: V column-shards over a mesh (P(None, 'data')); x and w inherit the
+column sharding; H (m-by-m) and all scalars replicate.  The per-iteration
+collectives are then the w-argmax/argmin and the psum inside HVi @ V.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .driver import run_driver
+
+
+def _dopt_factorize(V, x):
+    """Fresh O(m^2 n + m^3) state: (H, w, logdet) for VXVT = V diag(x) V^T."""
+    VXVT = (V * x) @ V.T
+    sign, logdet = jnp.linalg.slogdet(VXVT)
+    H = jnp.linalg.inv(VXVT)
+    w = jnp.sum(V * (H @ V), axis=0)
+    return H, w, logdet
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+
+def _make_dopt_step(V, eps, *, away, refresh_every=0):
+    m, n = V.shape
+    dt = V.dtype
+    m_f = jnp.asarray(float(m), dt)
+    eps = jnp.asarray(eps, dt)
+
+    def toward_update(state, i, wi):
+        x, w, H, logdet = state
+        t = (wi / m_f - 1.0) / (wi - 1.0)
+        Vi = lax.dynamic_index_in_dim(V, i, axis=1, keepdims=False)
+        HVi = H @ Vi
+        c = t / (1.0 - t + t * wi)  # == t / (1 + t*(wi-1))
+        H_new = (H - c * jnp.outer(HVi, HVi)) / (1.0 - t)
+        u = HVi @ V
+        w_new = (w - c * u * u) / (1.0 - t)
+        x_new = (x * (1.0 - t)).at[i].add(t)
+        logdet_new = logdet + (m_f - 1.0) * jnp.log1p(-t) + jnp.log1p(t * (wi - 1.0))
+        return (x_new, w_new, H_new, logdet_new)
+
+    def away_update(state, j, wj):
+        x, w, H, logdet = state
+        xj = x[j]
+        t = jnp.minimum((1.0 - wj / m_f) / (wj - 1.0), xj / (1.0 - xj))
+        Vj = lax.dynamic_index_in_dim(V, j, axis=1, keepdims=False)
+        HVj = H @ Vj
+        c = t / (1.0 + t - t * wj)
+        H_new = (H + c * jnp.outer(HVj, HVj)) / (1.0 + t)
+        u = HVj @ V
+        w_new = (w + c * u * u) / (1.0 + t)
+        x_new = (x * (1.0 + t)).at[j].add(-t)
+        logdet_new = logdet + (m_f - 1.0) * jnp.log1p(t) + jnp.log1p(t - t * wj)
+        return (x_new, w_new, H_new, logdet_new)
+
+    def step(c, k):
+        x, w, H, logdet = c["x"], c["w"], c["H"], c["logdet"]
+
+        if refresh_every:
+            def refresh(_):
+                return _dopt_factorize(V, x)
+
+            H, w, logdet = lax.cond(
+                (k > 0) & (k % refresh_every == 0),
+                refresh,
+                lambda _: (H, w, logdet),
+                operand=None,
+            )
+
+        Fk = -logdet
+        i = jnp.argmax(w)
+        wi = w[i]
+
+        if away:
+            ww = w - wi  # shift so max is 0; masked entries dominate at 0
+            j = jnp.argmin(ww * (x > 1.0e-8))
+            wj = w[j]
+            eps_neg = 1.0 - wj / m_f
+        else:
+            wmin = jnp.min(jnp.where(x > 0, w, jnp.inf))
+            eps_neg = 1.0 - wmin / m_f
+
+        eps_pos = wi / m_f - 1.0
+        stop = (eps_pos <= eps) & (eps_neg <= eps)
+
+        state = (x, w, H, logdet)
+        if away:
+            new_state = lax.cond(
+                eps_pos >= eps_neg,
+                lambda s: toward_update(s, i, wi),
+                lambda s: away_update(s, j, wj),
+                state,
+            )
+        else:
+            new_state = toward_update(state, i, wi)
+
+        # the reference breaks BEFORE applying the update (D_opt_alg.py:72-73)
+        x_n, w_n, H_n, logdet_n = _tree_where(stop, state, new_state)
+        c2 = dict(done=c["done"], x=x_n, w=w_n, H=H_n, logdet=logdet_n)
+        return c2, dict(F=Fk, SP=eps_pos, SN=eps_neg, _stop=stop)
+
+    return step
+
+
+def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
+              refresh_every, header):
+    V = jnp.asarray(V)
+    x0 = jnp.asarray(x0, V.dtype)
+    H, w, logdet = _dopt_factorize(V, x0)
+    step = _make_dopt_step(V, eps, away=away, refresh_every=refresh_every)
+    carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
+
+    def row(k, r, t):
+        print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:6.1f}".format(
+            k, r["F"], r["SP"], r["SN"], t))
+
+    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
+                                verbskip=verbskip, header=header,
+                                print_row=row, chunk=chunk)
+    return carry["x"], hist["F"], hist["SP"], hist["SN"], T
+
+
+def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
+             refresh_every=0):
+    """Khachiyan Frank-Wolfe for D-optimal design on the simplex with rank-1
+    Sherman-Morrison updates of H = (V diag(x) V^T)^{-1} and w = -gradient
+    (reference: D_opt_alg.py:9-88).  Returns ``(x, F, SP, SN, T)``.
+    """
+    header = ("\nSolving D-opt design problem using Frank-Wolfe method\n"
+              "     k      F(x)     pos_slack   neg_slack    time")
+    return _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk,
+                     away=False, refresh_every=refresh_every, header=header)
+
+
+def D_opt_FW_away(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
+                  refresh_every=0):
+    """Wolfe-Atwood method: Frank-Wolfe with away steps for D-optimal design
+    (linearly convergent; reference: D_opt_alg.py:91-185).
+    Returns ``(x, F, SP, SN, T)``.
+    """
+    header = ("\nSolving D-opt design problem using Frank-Wolfe method with away steps\n"
+              "     k      F(x)     pos_slack   neg_slack    time")
+    return _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk,
+                     away=True, refresh_every=refresh_every, header=header)

@@ -1,0 +1,167 @@
+"""Chunked-scan execution engine for all iteration drivers.
+
+The reference runs every algorithm as a Python ``for`` loop with per-iteration
+NumPy calls (e.g. /root/reference/accbpg/algorithms.py:45-67).  Here every
+algorithm is a *pure step function* ``step(carry, k) -> (carry, hist)`` that
+is compiled once and executed on device as ``lax.scan`` chunks:
+
+* one XLA computation per chunk of iterations — no per-iteration host
+  round-trips, no retracing;
+* early stopping with the reference's exact truncation semantics: a step
+  records ``_stop`` in its history; iterations after the stop run through a
+  ``lax.cond`` dead-branch (no compute) and are sliced off on host;
+* wall-clock ``T`` arrays measured at chunk boundaries and interpolated
+  within a chunk (the reference's ``T[k] = time.time() - start`` is the same
+  signal at 1-iteration granularity);
+* the verbose progress tables are re-printed from device history at chunk
+  boundaries with the reference's formats.
+
+Contract for step functions:
+  carry: a dict pytree that must contain ``done`` (bool scalar);
+  hist:  a dict of scalar arrays; must contain ``_stop`` (bool: the stopping
+         criterion fired at this iteration; this iteration is the last one
+         recorded, matching the reference's ``break`` placement).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _wrap_step(step, hist_zeros):
+    """Wrap a raw step: skip all compute once carry['done'] is set."""
+
+    def wrapped(carry, k):
+        def live(c):
+            c2, h = step(c, k)
+            h = dict(h)
+            h["_valid"] = jnp.asarray(True)
+            c2 = dict(c2)
+            c2["done"] = c2["done"] | h["_stop"]
+            return c2, h
+
+        def dead(c):
+            h = dict(hist_zeros())
+            h["_valid"] = jnp.asarray(False)
+            return c, h
+
+        return lax.cond(carry["done"], dead, live, carry)
+
+    return wrapped
+
+
+def run_driver(
+    step: Callable,
+    carry: Dict,
+    maxitrs: int,
+    *,
+    verbose: bool = True,
+    verbskip: int = 1,
+    header: Optional[str] = None,
+    print_row: Optional[Callable] = None,
+    chunk: Optional[int] = None,
+    include_compile_time: bool = False,
+):
+    """Run ``step`` for up to ``maxitrs`` iterations in compiled scan chunks.
+
+    Returns ``(carry, hist, T)`` where ``hist`` maps each history name to a
+    host numpy array truncated at the stopping iteration (inclusive), and
+    ``T`` is the wall-time array with the reference's semantics.
+    """
+    if maxitrs <= 0:
+        raise ValueError("maxitrs must be positive")
+    if chunk is None:
+        chunk = int(min(maxitrs, max(verbskip, 256)))
+    chunk = max(1, min(chunk, maxitrs))
+
+    carry = jax.tree_util.tree_map(jnp.asarray, carry)
+    hist_sd = jax.eval_shape(lambda c, k: step(c, k)[1], carry, jnp.int32(0))
+
+    def hist_zeros():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), hist_sd
+        )
+
+    wrapped = _wrap_step(step, hist_zeros)
+
+    def run_chunk(c, k0):
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        return lax.scan(wrapped, c, ks)
+
+    compiled = jax.jit(run_chunk).lower(carry, jnp.int32(0)).compile()
+
+    nchunks = -(-maxitrs // chunk)
+    if verbose and header:
+        print(header)
+
+    t0 = time.time()
+    hists = []
+    bounds = [0.0]
+    for ci in range(nchunks):
+        carry, hist = compiled(carry, jnp.int32(ci * chunk))
+        hist = jax.device_get(jax.block_until_ready(hist))
+        bounds.append(time.time() - t0)
+        hists.append(hist)
+
+        if verbose and print_row is not None:
+            t_a, t_b = bounds[-2], bounds[-1]
+            for j in range(chunk):
+                k = ci * chunk + j
+                if k >= maxitrs or not bool(hist["_valid"][j]):
+                    break
+                if k % verbskip == 0:
+                    row = {name: v[j] for name, v in hist.items()}
+                    print_row(k, row, t_a + (t_b - t_a) * j / chunk)
+
+        if bool(jax.device_get(carry["done"])):
+            break
+
+    # concatenate + truncate with the reference's inclusive-stop semantics
+    full = {
+        name: np.concatenate([h[name] for h in hists])
+        for name in hists[0].keys()
+    }
+    valid = full.pop("_valid")
+    n = int(valid.sum())
+    n = min(n, maxitrs)
+    out = {name: v[:n] for name, v in full.items()}
+    out.pop("_stop", None)
+
+    # wall-time interpolation at chunk granularity
+    T = np.zeros(n)
+    for ci in range(len(hists)):
+        a, b = ci * chunk, min((ci + 1) * chunk, n)
+        if a >= n:
+            break
+        t_a, t_b = bounds[ci], bounds[ci + 1]
+        T[a:b] = t_a + (t_b - t_a) * (np.arange(a, b) - a) / chunk
+    out["T"] = T
+    return carry, out, T
+
+
+def scan_full(step, carry, num_iters: int):
+    """Fully-jitted alternative: run ``num_iters`` iterations as ONE scan.
+
+    No host loop, no early exit — the form used by benchmarks, multi-chip
+    dryruns and anything that wants a single XLA computation.
+    """
+    carry = jax.tree_util.tree_map(jnp.asarray, carry)
+    hist_sd = jax.eval_shape(lambda c, k: step(c, k)[1], carry, jnp.int32(0))
+
+    def hist_zeros():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), hist_sd
+        )
+
+    wrapped = _wrap_step(step, hist_zeros)
+
+    def run(c):
+        return lax.scan(wrapped, c, jnp.arange(num_iters, dtype=jnp.int32))
+
+    return jax.jit(run)(carry)

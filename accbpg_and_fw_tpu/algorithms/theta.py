@@ -1,0 +1,37 @@
+"""Newton solve for the ABPG theta-sequence (jittable scalar kernel).
+
+Solves (1-theta')/theta'^gamma = gainratio / theta^gamma for theta', i.e. the
+root of phi(t) = t^gamma - ckg*(1-t) with ckg = theta^gamma/gainratio,
+starting Newton from theta (reference: accbpg/algorithms.py:75-91).  The
+Python while loop becomes a bounded ``lax.while_loop`` so the solve runs on
+device inside jitted algorithm steps.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def solve_theta(theta, gamma, gainratio=1.0, max_iters=64):
+    theta = jnp.asarray(theta)
+    gamma = jnp.asarray(gamma, theta.dtype)
+    gainratio = jnp.asarray(gainratio, theta.dtype)
+    ckg = theta**gamma / gainratio
+    eps = 1e-6 * theta
+
+    def phi(t):
+        return t**gamma - ckg * (1.0 - t)
+
+    def cond(state):
+        t, ph, it = state
+        return jnp.logical_and(jnp.abs(ph) > eps, it < max_iters)
+
+    def body(state):
+        t, ph, it = state
+        drv = gamma * t ** (gamma - 1.0) + ckg
+        t = t - ph / drv
+        return t, phi(t), it + 1
+
+    t, _, _ = lax.while_loop(cond, body, (theta, phi(theta), 0))
+    return t

@@ -162,7 +162,10 @@ class FrobeniusSymLoss(SmoothOracle):
     stochastic: bool = static_field(default=False)
 
     @classmethod
-    def create(cls, M, noise_level=None):
+    def create(cls, M, X_init=None, noise_level=None):
+        # X_init is accepted for reference signature compatibility
+        # (functions.py:913 uses it only to preallocate scratch buffers).
+        del X_init
         M = jnp.asarray(M)
         return cls(
             M=M,
