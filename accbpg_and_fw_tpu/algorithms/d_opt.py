@@ -15,9 +15,11 @@ Design differences from the reference (same math, faster/stabler on TPU):
   F(x) = -logdet(VXVT) is cheap and accurate; the reference's away version
   recomputes np.linalg.det(H) — an O(m^3) per-iteration cost — because its
   linear-space running det drifts (D_opt_alg.py:136-138);
-* optional ``refresh_every``: re-factorize H, w and logdet from scratch every
-  R iterations to cancel rank-1 rounding drift (needed for float32 runs;
-  the reference never refreshes);
+* optional ``refresh_every``: re-factorize H, w and logdet from scratch at
+  the first chunk boundary after every R iterations, canceling rank-1
+  rounding drift (needed for float32 runs; the reference never refreshes);
+  the factorization is Cholesky-based so it (and the whole solver) also
+  runs in float64 on TPU, where LU has no f64 lowering;
 * the away-branch logdet update uses w[j] (the reference uses w[i] at
   D_opt_alg.py:177 — a known bug that its F[k] hides by recomputing det(H)).
 
@@ -36,11 +38,22 @@ from .driver import run_driver
 
 
 def _dopt_factorize(V, x):
-    """Fresh O(m^2 n + m^3) state: (H, w, logdet) for VXVT = V diag(x) V^T."""
+    """Fresh O(m^2 n + m^3) state: (H, w, logdet) for VXVT = V diag(x) V^T.
+
+    Cholesky-based (VXVT is SPD): logdet = 2 sum log diag(R), H = R^-T R^-1,
+    and w = colnorms^2 of R^-1 V.  Unlike LU (slogdet/inv), Cholesky and
+    triangular solves have float64 TPU lowerings, so the solver runs in f64
+    on-device end to end.
+    """
+    from jax.scipy.linalg import solve_triangular
+
     VXVT = (V * x) @ V.T
-    sign, logdet = jnp.linalg.slogdet(VXVT)
-    H = jnp.linalg.inv(VXVT)
-    w = jnp.sum(V * (H @ V), axis=0)
+    R = jnp.linalg.cholesky(VXVT)  # lower
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
+    Rinv = solve_triangular(R, jnp.eye(V.shape[0], dtype=V.dtype), lower=True)
+    H = Rinv.T @ Rinv
+    W = Rinv @ V
+    w = jnp.sum(W * W, axis=0)
     return H, w, logdet
 
 
@@ -48,7 +61,7 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
 
 
-def _make_dopt_step(V, eps, *, away, refresh_every=0):
+def _make_dopt_step(V, eps, *, away):
     m, n = V.shape
     dt = V.dtype
     m_f = jnp.asarray(float(m), dt)
@@ -83,18 +96,6 @@ def _make_dopt_step(V, eps, *, away, refresh_every=0):
 
     def step(c, k):
         x, w, H, logdet = c["x"], c["w"], c["H"], c["logdet"]
-
-        if refresh_every:
-            def refresh(_):
-                return _dopt_factorize(V, x)
-
-            H, w, logdet = lax.cond(
-                (k > 0) & (k % refresh_every == 0),
-                refresh,
-                lambda _: (H, w, logdet),
-                operand=None,
-            )
-
         Fk = -logdet
         i = jnp.argmax(w)
         wi = w[i]
@@ -135,8 +136,27 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
     V = jnp.asarray(V)
     x0 = jnp.asarray(x0, V.dtype)
     H, w, logdet = _dopt_factorize(V, x0)
-    step = _make_dopt_step(V, eps, away=away, refresh_every=refresh_every)
+    step = _make_dopt_step(V, eps, away=away)
     carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
+
+    between = None
+    if refresh_every:
+        # Refactorize at chunk boundaries (instead of a lax.cond inside the
+        # scan, which forces both-branch buffer materialization per
+        # iteration on TPU).  One extra O(m^2 n) dispatch per crossed
+        # refresh boundary, zero per-iteration cost.
+        @jax.jit
+        def _refresh(c):
+            Hn, wn, ldn = _dopt_factorize(V, c["x"])
+            return dict(done=c["done"], x=c["x"], w=wn, H=Hn, logdet=ldn)
+
+        last_refresh = [0]
+
+        def between(c, k_next):
+            if k_next - last_refresh[0] >= refresh_every:
+                last_refresh[0] = k_next
+                return _refresh(c)
+            return c
 
     def row(k, r, t):
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:6.1f}".format(
@@ -144,7 +164,8 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                between_chunks=between)
     return carry["x"], hist["F"], hist["SP"], hist["SN"], T
 
 

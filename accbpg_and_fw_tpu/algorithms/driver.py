@@ -34,24 +34,29 @@ import numpy as np
 from jax import lax
 
 
-def _wrap_step(step, hist_zeros):
-    """Wrap a raw step: skip all compute once carry['done'] is set."""
+def _wrap_step(step):
+    """Wrap a raw step so the carry freezes once carry['done'] is set.
+
+    Masking is a per-leaf ``where`` select, NOT a ``lax.cond``: a cond whose
+    branches thread a large carry forces XLA to materialize both branch
+    results through the conditional inside the scan (measured ~60x slower on
+    TPU for the D-opt state).  The select costs one extra pass over the
+    carry; compute after the stop runs on frozen values and is discarded,
+    and is bounded by one chunk because the host loop stops launching chunks
+    once done.
+    """
 
     def wrapped(carry, k):
-        def live(c):
-            c2, h = step(c, k)
-            h = dict(h)
-            h["_valid"] = jnp.asarray(True)
-            c2 = dict(c2)
-            c2["done"] = c2["done"] | h["_stop"]
-            return c2, h
-
-        def dead(c):
-            h = dict(hist_zeros())
-            h["_valid"] = jnp.asarray(False)
-            return c, h
-
-        return lax.cond(carry["done"], dead, live, carry)
+        done = carry["done"]
+        c2, h = step(carry, k)
+        h = dict(h)
+        h["_valid"] = jnp.logical_not(done)
+        c2 = dict(c2)
+        c2["done"] = done | c2["done"] | h["_stop"]
+        out = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), carry, c2
+        )
+        return out, h
 
     return wrapped
 
@@ -67,8 +72,13 @@ def run_driver(
     print_row: Optional[Callable] = None,
     chunk: Optional[int] = None,
     include_compile_time: bool = False,
+    between_chunks: Optional[Callable] = None,
 ):
     """Run ``step`` for up to ``maxitrs`` iterations in compiled scan chunks.
+
+    ``between_chunks(carry, k_next) -> carry``, if given, runs on host
+    between chunks (e.g. periodic state refactorization) — it must preserve
+    the carry structure.
 
     Returns ``(carry, hist, T)`` where ``hist`` maps each history name to a
     host numpy array truncated at the stopping iteration (inclusive), and
@@ -81,14 +91,7 @@ def run_driver(
     chunk = max(1, min(chunk, maxitrs))
 
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
-    hist_sd = jax.eval_shape(lambda c, k: step(c, k)[1], carry, jnp.int32(0))
-
-    def hist_zeros():
-        return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), hist_sd
-        )
-
-    wrapped = _wrap_step(step, hist_zeros)
+    wrapped = _wrap_step(step)
 
     def run_chunk(c, k0):
         ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
@@ -121,6 +124,8 @@ def run_driver(
 
         if bool(jax.device_get(carry["done"])):
             break
+        if between_chunks is not None:
+            carry = between_chunks(carry, (ci + 1) * chunk)
 
     # concatenate + truncate with the reference's inclusive-stop semantics
     full = {
@@ -152,14 +157,7 @@ def scan_full(step, carry, num_iters: int):
     dryruns and anything that wants a single XLA computation.
     """
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
-    hist_sd = jax.eval_shape(lambda c, k: step(c, k)[1], carry, jnp.int32(0))
-
-    def hist_zeros():
-        return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), hist_sd
-        )
-
-    wrapped = _wrap_step(step, hist_zeros)
+    wrapped = _wrap_step(step)
 
     def run(c):
         return lax.scan(wrapped, c, jnp.arange(num_iters, dtype=jnp.int32))

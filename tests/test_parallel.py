@@ -1,0 +1,109 @@
+"""Distributed-layer tests on the 8-virtual-device CPU mesh (SURVEY.md §4c):
+sharded runs must match single-device runs to tolerance, and the batched
+(vmapped) sweep solver must match per-instance solves."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import accbpg_and_fw_tpu as acc
+from accbpg_and_fw_tpu.parallel import (
+    data_mesh,
+    shard_dopt_problem,
+    shard_regression_problem,
+)
+from accbpg_and_fw_tpu.parallel.batched import dopt_fw_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    return data_mesh(jax.devices()[:8])
+
+
+class TestShardedDOpt:
+    def test_bpg_sharded_matches_single(self, mesh):
+        f, h, L, x0 = acc.D_opt_design(16, 64, randseed=5)
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+
+        x1, F1, Ls1, T1 = acc.BPG(f, h, L, x0, maxitrs=50, verbose=False)
+        x2, F2, Ls2, T2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=50, verbose=False)
+        np.testing.assert_allclose(np.asarray(F1), np.asarray(F2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-13)
+
+    def test_abpg_gain_sharded_matches_single(self, mesh):
+        f, h, L, x0 = acc.D_opt_design(16, 64, randseed=5)
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+        r1 = acc.ABPG_gain(f, h, L, x0, gamma=2, maxitrs=40, verbose=False)
+        r2 = acc.ABPG_gain(f_sh, h, L, x_sh, gamma=2, maxitrs=40, verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]), rtol=1e-11)
+
+    def test_dopt_fw_away_sharded_matches_single(self, mesh):
+        f, h, L, x0 = acc.D_opt_design(12, 128, randseed=5)
+        V = f.H
+        x1, F1, SP1, SN1, T1 = acc.D_opt_FW_away(V, x0, eps=1e-7, maxitrs=2000,
+                                                 verbose=False, chunk=500)
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+        x2, F2, SP2, SN2, T2 = acc.D_opt_FW_away(f_sh.H, x_sh, eps=1e-7,
+                                                 maxitrs=2000, verbose=False,
+                                                 chunk=500)
+        assert len(F1) == len(F2)  # identical stopping iteration
+        np.testing.assert_allclose(np.asarray(F1), np.asarray(F2), rtol=1e-9)
+
+    def test_output_keeps_sharding(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        f, h, L, x0 = acc.D_opt_design(16, 64, randseed=5)
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+
+        @jax.jit
+        def step(f, x):
+            fx, g = f.value_and_grad(x)
+            return h.div_prox_map(x, g, 1.0)
+
+        x1 = step(f_sh, x_sh)
+        assert x1.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("data")), ndim=1)
+
+
+class TestShardedRegression:
+    def test_logreg_sharded_matches_single(self, mesh):
+        key = jax.random.PRNGKey(1)
+        f, h, L, L0, L1, x0, X, y = acc.hard_FW_log_reg_jax(key, 64, 10,
+                                                            radius=1.5,
+                                                            domain="l2")
+        f_sh, x_sh = shard_regression_problem(f, x0, mesh)
+        lmo = acc.lmo_l2_ball(1.5)
+        r1 = acc.FW_alg_div_step(f, h, float(L), x0, 50, gamma=2.0, lmo=lmo,
+                                 verbose=False)
+        r2 = acc.FW_alg_div_step(f_sh, h, float(L), x_sh, 50, gamma=2.0,
+                                 lmo=lmo, verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-12)
+
+    def test_poisson_sharded(self, mesh):
+        f, h, L, x0 = acc.Poisson_regrL1(64, 20, noise=0.0001, randseed=2)
+        f_sh, x_sh = shard_regression_problem(f, x0, mesh)
+        r1 = acc.BPG(f, h, L, x0, maxitrs=50, linesearch=False, verbose=False)
+        r2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=50, linesearch=False, verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-12)
+
+
+class TestBatchedSweeps:
+    def test_dopt_batch_matches_individual(self):
+        K, m, n = 3, 10, 40
+        rng = np.random.default_rng(0)
+        Vs = rng.standard_normal((K, m, n))
+        x0s = np.full((K, n), 1.0 / n)
+
+        xb, Fb, SPb, SNb = dopt_fw_batch(Vs, x0s, eps=1e-9, num_iters=300)
+        assert xb.shape == (K, n) and Fb.shape == (K, 300)
+
+        for k in range(K):
+            xk, Fk, SPk, SNk, Tk = acc.D_opt_FW_away(
+                Vs[k], x0s[k], eps=1e-9, maxitrs=300, verbose=False, chunk=300)
+            nk = len(Fk)
+            np.testing.assert_allclose(np.asarray(Fb[k][:nk]), Fk, rtol=1e-9)
