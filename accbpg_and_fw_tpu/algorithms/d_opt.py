@@ -75,6 +75,13 @@ def _make_dopt_step(V, eps, *, away):
         c = t / (1.0 - t + t * wi)  # == t / (1 + t*(wi-1))
         H_new = (H - c * jnp.outer(HVi, HVi)) / (1.0 - t)
         u = HVi @ V
+        # Force u_i == w_i: the exact line search sets the new w_i to exactly
+        # m only when the recomputed v_i^T H v_i agrees with the incrementally
+        # tracked w_i.  At float64 CPU precision they agree to ~1e-15 (no-op);
+        # on TPU the ~1e-12 matmul discrepancy otherwise leaves a residual
+        # slack of order m*delta that sustains a permanent ~1e-6 limit cycle
+        # (observed: SN frozen at 2.7e-6 for 40k iterations at m=1000).
+        u = u.at[i].set(wi)
         w_new = (w - c * u * u) / (1.0 - t)
         x_new = (x * (1.0 - t)).at[i].add(t)
         logdet_new = logdet + (m_f - 1.0) * jnp.log1p(-t) + jnp.log1p(t * (wi - 1.0))
@@ -89,6 +96,7 @@ def _make_dopt_step(V, eps, *, away):
         c = t / (1.0 + t - t * wj)
         H_new = (H + c * jnp.outer(HVj, HVj)) / (1.0 + t)
         u = HVj @ V
+        u = u.at[j].set(wj)  # consistency pin; see toward_update
         w_new = (w + c * u * u) / (1.0 + t)
         x_new = (x * (1.0 + t)).at[j].add(-t)
         logdet_new = logdet + (m_f - 1.0) * jnp.log1p(t) + jnp.log1p(t - t * wj)

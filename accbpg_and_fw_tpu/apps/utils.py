@@ -34,14 +34,81 @@ def _open_maybe_compressed(filename):
     return open(filename, "r")
 
 
+def _load_libsvm_native(filename):
+    """mmap + C++ single-pass parse (native/libsvm_parser.cpp); returns
+    (data, indices, indptr, labels) numpy arrays or None if unavailable."""
+    import ctypes
+
+    from ..native import load_native_library
+
+    lib = load_native_library("libsvm_parser")
+    if lib is None:
+        return None
+    lib.libsvm_parse.restype = ctypes.c_void_p
+    lib.libsvm_parse.argtypes = [ctypes.c_char_p]
+    lib.libsvm_last_error.restype = ctypes.c_char_p
+    lib.libsvm_nnz.restype = ctypes.c_int64
+    lib.libsvm_nnz.argtypes = [ctypes.c_void_p]
+    lib.libsvm_rows.restype = ctypes.c_int64
+    lib.libsvm_rows.argtypes = [ctypes.c_void_p]
+    lib.libsvm_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+    lib.libsvm_free.argtypes = [ctypes.c_void_p]
+
+    handle = lib.libsvm_parse(os.fsencode(filename))
+    if not handle:
+        err = lib.libsvm_last_error().decode()
+        if "sorted and unique" in err or "Invalid" in err:
+            raise ValueError(err)
+        return None  # e.g. cannot open -> let the python path raise cleanly
+    try:
+        nnz = lib.libsvm_nnz(handle)
+        rows = lib.libsvm_rows(handle)
+        data = np.empty(nnz, np.float64)
+        indices = np.empty(nnz, np.int64)
+        indptr = np.empty(rows + 1, np.int64)
+        labels = np.empty(rows, np.float64)
+        lib.libsvm_fill(handle,
+                        data.ctypes.data_as(ctypes.c_void_p),
+                        indices.ctypes.data_as(ctypes.c_void_p),
+                        indptr.ctypes.data_as(ctypes.c_void_p),
+                        labels.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.libsvm_free(handle)
+    return data, indices, indptr, labels
+
+
 def load_libsvm_file(filename, dtype=np.float64, n_features=None,
                      zero_based="auto"):
     """Parse an svmlight/LIBSVM file into (CSR matrix, labels)
     (reference: utils.py:22-95).
 
-    Single-pass text parse into flat index/value arrays; comments (``#``)
-    stripped, indices validated as sorted per row.
+    Plain (uncompressed) files go through the mmapped C++ parser
+    (native/libsvm_parser.cpp); compressed files and compiler-less hosts
+    fall back to the single-pass Python parse.  Comments (``#``) stripped,
+    indices validated as sorted per row.
     """
+    _, ext = os.path.splitext(filename)
+    if ext not in (".gz", ".bz2"):
+        native = _load_libsvm_native(filename)
+        if native is not None:
+            data, indices, indptr, labels = native
+            if zero_based is False and indices.size and indices.min() == 0:
+                raise ValueError("Invalid index 0 in LibSVM data file.")
+            if zero_based is False or (
+                    zero_based == "auto" and indices.size and indices.min() > 0):
+                indices = indices - 1
+            nf = int(indices.max()) + 1 if indices.size else 0
+            if n_features is None:
+                n_features = nf
+            elif n_features < nf:
+                n_features = nf
+                print("Warning: n_features increased to match data.")
+            X = sparse.csr_matrix(
+                (data.astype(dtype, copy=False), indices, indptr),
+                shape=(len(labels), n_features))
+            X.sort_indices()
+            return X, labels
+
     labels, data, indices, indptr = [], [], [], [0]
 
     with _open_maybe_compressed(filename) as fh:

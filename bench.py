@@ -1,0 +1,74 @@
+"""Headline benchmark: D-optimal design 1000x5000, Frank-Wolfe with away steps.
+
+Baseline (baselines/dopt_1000x5000_ref.json): the UNMODIFIED reference
+implementation (/root/reference/accbpg/D_opt_alg.py, float64 numpy) run on
+this machine converges to complementary slackness 1e-8 in 20741 iterations /
+322.2 s, and its optimum F* was certified by a fresh float64 slogdet of the
+trajectory-identical run's final iterate.
+
+This bench runs OUR solver (float64, single TPU chip, the whole iteration
+compiled as scan chunks) for the SAME iteration budget and the same uniform
+init, then certifies the final iterate's objective gap against F* with a
+fresh float64 slogdet on host.  Wall time excludes compilation (the
+reference's numbers exclude numpy import/BLAS warmup too); iteration count
+is fixed so the comparison is pure per-iteration throughput of the same
+algorithm at verified-equal solution quality.
+
+Output: one JSON line {metric, value, unit, vs_baseline, ...}.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import accbpg_and_fw_tpu as acc
+
+    base = json.load(open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "baselines/dopt_1000x5000_ref.json")))
+    m, n = base["config"]["m"], base["config"]["n"]
+    iters = base["iters"]
+    F_star = base["F_star_certified"]
+
+    np.random.seed(base["config"]["seed"])
+    V64 = np.random.randn(m, n)
+    V = jnp.asarray(V64)
+    x0 = jnp.full(n, 1.0 / n, jnp.float64)
+
+    x, F, SP, SN, T = acc.D_opt_FW_away(V, x0, eps=base["config"]["eps"],
+                                        maxitrs=iters, verbose=False,
+                                        chunk=2500)
+    solve_s = float(T[-1])
+
+    # certification: fresh float64 evaluation of the (simplex-normalized)
+    # final iterate against the certified optimum
+    xs = np.asarray(x, np.float64)
+    xs = xs / xs.sum()
+    _, logdet = np.linalg.slogdet((V64 * xs) @ V64.T)
+    gap = float(-logdet - F_star)
+
+    result = {
+        "metric": "dopt_1000x5000_fw_away_wall_s",
+        "value": round(solve_s, 3),
+        "unit": "s",
+        "vs_baseline": round(base["wall_s"] / solve_s, 2),
+        "baseline_s": round(base["wall_s"], 1),
+        "iters": int(len(F)),
+        "certified_gap": gap,
+        "solver_slack": [float(SP[-1]), float(SN[-1])],
+        "quality_pass": bool(gap <= 1e-6),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Native-component tests: the C++ LIBSVM parser must agree with the Python
+parser on content and error behavior (reference contract: utils.py:22-95)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from accbpg_and_fw_tpu.apps.utils import _load_libsvm_native, load_libsvm_file
+from accbpg_and_fw_tpu.native import load_native_library
+
+SAMPLE = """\
+1 1:0.5 3:-1.25 7:3e-2
+-1 2:1.0 3:2.5   # trailing comment
+# full comment line
+
+2.5 1:4 2:5 3:6 8:7.5
+"""
+
+
+@pytest.fixture
+def svm_file(tmp_path):
+    p = tmp_path / "sample.libsvm"
+    p.write_text(SAMPLE)
+    return str(p)
+
+
+def test_native_library_builds():
+    assert load_native_library("libsvm_parser") is not None
+
+
+def test_native_matches_python(svm_file, tmp_path):
+    X, y = load_libsvm_file(svm_file)  # native path
+    gz = tmp_path / "sample.libsvm.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write(SAMPLE)
+    Xp, yp = load_libsvm_file(str(gz))  # python path (compressed)
+    np.testing.assert_array_equal(y, yp)
+    assert X.shape == Xp.shape
+    np.testing.assert_array_equal(X.toarray(), Xp.toarray())
+
+
+def test_parsed_content(svm_file):
+    X, y = load_libsvm_file(svm_file)
+    np.testing.assert_array_equal(y, [1, -1, 2.5])
+    assert X.shape == (3, 8)
+    # auto zero_based: min index is 1 -> shifted down by one
+    assert X[0, 0] == 0.5 and X[0, 2] == -1.25 and X[0, 6] == pytest.approx(0.03)
+    assert X[2, 7] == 7.5
+
+
+def test_unsorted_indices_raise(tmp_path):
+    p = tmp_path / "bad.libsvm"
+    p.write_text("1 3:1.0 2:2.0\n")
+    with pytest.raises(ValueError, match="sorted and unique"):
+        load_libsvm_file(str(p))
+
+
+def test_native_speedup_on_larger_file(tmp_path):
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(2000):
+        idx = np.sort(rng.choice(100, size=20, replace=False)) + 1
+        vals = rng.standard_normal(20)
+        rows.append("1 " + " ".join(f"{i}:{v:.6f}" for i, v in zip(idx, vals)))
+    p = tmp_path / "big.libsvm"
+    p.write_text("\n".join(rows) + "\n")
+
+    out = _load_libsvm_native(str(p))
+    assert out is not None
+    data, indices, indptr, labels = out
+    assert len(labels) == 2000
+    assert indptr[-1] == len(data) == 2000 * 20
