@@ -27,7 +27,7 @@ def _tree_where(pred, a, b):
 
 
 def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
-        verbose=True, verbskip=1, chunk=None):
+        verbose=True, verbskip=1, chunk=None, checkpoint=None):
     """Bregman Proximal Gradient method for min_{x in C} f(x) + Psi(x):
 
         x_{k+1} = argmin_{x in C} { Psi(x) + <f'(x_k), x> + L_k D_h(x, x_k) }
@@ -82,13 +82,14 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["Ls"], T
 
 
 def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
          restart=False, restart_rule='g', verbose=True, verbskip=1,
-         chunk=None):
+         chunk=None, checkpoint=None):
     """Accelerated Bregman Proximal Gradient (reference: algorithms.py:94-180).
 
     Triple-sequence update with TSE gamma; theta from gamma/(k+gamma) or the
@@ -146,13 +147,14 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["G"], T
 
 
 def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
               theta_eq=True, checkdiv=False, Gmargin=10, restart=False,
-              restart_rule='g', verbose=True, verbskip=1, chunk=None):
+              restart_rule='g', verbose=True, verbskip=1, chunk=None, checkpoint=None):
     """ABPG with exponent adaption: start gamma0 > 2, decrease gamma by
     ``delta`` (floor 1) while the TSE inequality / descent condition fails
     (reference: algorithms.py:183-292).  Returns ``(x, F, Gamma, G, T)``.
@@ -225,14 +227,15 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["Gamma"], hist["G"], T
 
 
 def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
               ls_inc=1.2, ls_dec=1.2, theta_eq=True, checkdiv=False,
               restart=False, restart_rule='g', verbose=True, verbskip=1,
-              chunk=None):
+              chunk=None, checkpoint=None):
     """ABPG with gain adaption ("ABPG-g", the workhorse): per-iteration line
     search on the triangle-scaling gain G (optimistic divide by ls_dec, then
     multiply by ls_inc on failure), theta from solve_theta(theta_1, gamma,
@@ -321,12 +324,13 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["Gain"], hist["Gdiv"], hist["Gavg"], T
 
 
 def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
-         verbose=True, verbskip=1, chunk=None):
+         verbose=True, verbskip=1, chunk=None, checkpoint=None):
     """Accelerated Bregman Dual Averaging: accumulates the weighted gradient
     average and uses the *primal* prox_map (reference: algorithms.py:423-514;
     restart is intentionally unsupported, :445-446).
@@ -377,5 +381,6 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["G"], T

@@ -140,7 +140,7 @@ def _make_dopt_step(V, eps, *, away):
 
 
 def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
-              refresh_every, header):
+              refresh_every, header, checkpoint=None):
     V = jnp.asarray(V)
     x0 = jnp.asarray(x0, V.dtype)
     H, w, logdet = _dopt_factorize(V, x0)
@@ -172,13 +172,13 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk,
+                                print_row=row, chunk=chunk, checkpoint=checkpoint,
                                 between_chunks=between)
     return carry["x"], hist["F"], hist["SP"], hist["SN"], T
 
 
 def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
-             refresh_every=0):
+             refresh_every=0, checkpoint=None):
     """Khachiyan Frank-Wolfe for D-optimal design on the simplex with rank-1
     Sherman-Morrison updates of H = (V diag(x) V^T)^{-1} and w = -gradient
     (reference: D_opt_alg.py:9-88).  Returns ``(x, F, SP, SN, T)``.
@@ -186,11 +186,12 @@ def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
     header = ("\nSolving D-opt design problem using Frank-Wolfe method\n"
               "     k      F(x)     pos_slack   neg_slack    time")
     return _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk,
-                     away=False, refresh_every=refresh_every, header=header)
+                     away=False, refresh_every=refresh_every, header=header,
+                     checkpoint=checkpoint)
 
 
 def D_opt_FW_away(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
-                  refresh_every=0):
+                  refresh_every=0, checkpoint=None):
     """Wolfe-Atwood method: Frank-Wolfe with away steps for D-optimal design
     (linearly convergent; reference: D_opt_alg.py:91-185).
     Returns ``(x, F, SP, SN, T)``.
@@ -198,4 +199,5 @@ def D_opt_FW_away(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
     header = ("\nSolving D-opt design problem using Frank-Wolfe method with away steps\n"
               "     k      F(x)     pos_slack   neg_slack    time")
     return _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk,
-                     away=True, refresh_every=refresh_every, header=header)
+                     away=True, refresh_every=refresh_every, header=header,
+                     checkpoint=checkpoint)

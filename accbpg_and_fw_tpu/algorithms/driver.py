@@ -61,6 +61,46 @@ def _wrap_step(step):
     return wrapped
 
 
+def _save_checkpoint(path, carry, hists, bounds, ci):
+    """Atomically persist carry + per-chunk history + wall-time bounds."""
+    import os
+
+    payload = {"__ci": np.asarray(ci), "__bounds": np.asarray(bounds),
+               "__nchunks_done": np.asarray(len(hists))}
+    for k, v in jax.device_get(carry).items():
+        payload[f"c::{k}"] = np.asarray(v)
+    if hists:
+        for name in hists[0]:
+            payload[f"h::{name}"] = np.concatenate([h[name] for h in hists])
+    tmp = path + ".tmp.npz"  # np.savez appends .npz unless already present
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path, carry_proto):
+    """Load a checkpoint if present; returns (carry, hists, bounds, ci)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        ci = int(z["__ci"])
+        bounds = list(z["__bounds"])
+        ndone = int(z["__nchunks_done"])
+        carry = {}
+        for k, proto in carry_proto.items():
+            arr = z[f"c::{k}"]
+            carry[k] = jnp.asarray(arr, jnp.asarray(proto).dtype)
+        hists = []
+        hist_names = [n[3:] for n in z.files if n.startswith("h::")]
+        if ndone and hist_names:
+            per = len(z[f"h::{hist_names[0]}"]) // ndone
+            for c in range(ndone):
+                hists.append({name: z[f"h::{name}"][c * per:(c + 1) * per]
+                              for name in hist_names})
+    return carry, hists, bounds, ci
+
+
 def run_driver(
     step: Callable,
     carry: Dict,
@@ -73,12 +113,20 @@ def run_driver(
     chunk: Optional[int] = None,
     include_compile_time: bool = False,
     between_chunks: Optional[Callable] = None,
+    checkpoint: Optional[str] = None,
 ):
     """Run ``step`` for up to ``maxitrs`` iterations in compiled scan chunks.
 
     ``between_chunks(carry, k_next) -> carry``, if given, runs on host
     between chunks (e.g. periodic state refactorization) — it must preserve
     the carry structure.
+
+    ``checkpoint``: path of an ``.npz`` checkpoint.  After every chunk the
+    full solver state (carry + history so far + consumed wall time) is
+    saved there atomically; if the file already exists when the driver
+    starts, the run RESUMES from it (the reference has no checkpointing —
+    SURVEY.md §5 — its state died with the process).  Delete the file to
+    start fresh.
 
     Returns ``(carry, hist, T)`` where ``hist`` maps each history name to a
     host numpy array truncated at the stopping iteration (inclusive), and
@@ -103,10 +151,16 @@ def run_driver(
     if verbose and header:
         print(header)
 
-    t0 = time.time()
     hists = []
     bounds = [0.0]
-    for ci in range(nchunks):
+    ci0 = 0
+    if checkpoint is not None:
+        state = _load_checkpoint(checkpoint, carry)
+        if state is not None:
+            carry, hists, bounds, ci0 = state
+
+    t0 = time.time() - bounds[-1]
+    for ci in range(ci0, nchunks):
         carry, hist = compiled(carry, jnp.int32(ci * chunk))
         hist = jax.device_get(jax.block_until_ready(hist))
         bounds.append(time.time() - t0)
@@ -122,6 +176,8 @@ def run_driver(
                     row = {name: v[j] for name, v in hist.items()}
                     print_row(k, row, t_a + (t_b - t_a) * j / chunk)
 
+        if checkpoint is not None:
+            _save_checkpoint(checkpoint, carry, hists, bounds, ci + 1)
         if bool(jax.device_get(carry["done"])):
             break
         if between_chunks is not None:

@@ -22,7 +22,7 @@ _LS_MAX = 64  # doubling line searches multiply L by 2^t; 2^64 is past overflow
 
 
 def AIBM(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, verbose=True, noise=0,
-         verbskip=1, seed=0, chunk=None):
+         verbskip=1, seed=0, chunk=None, checkpoint=None):
     """Adaptive Intermediate Bregman Method with inexact oracle noise delta:
     doubling-L inner loop with certificate
     f(w) <= f(x) + <grad f(x), w-x> + L D(w,x) + delta, interpolation p=2
@@ -107,12 +107,13 @@ def AIBM(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, verbose=True, noise=0,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["G"], T
 
 
 def _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise, verbskip, seed,
-              chunk, universal, header):
+              chunk, universal, header, checkpoint=None):
     """Shared engine for AdaptFGM (reference: algorithms.py:661-714) and
     UniversalGM (:717-777).  They differ in initialization (AdaptFGM starts
     every sequence at the all-ones vector; UniversalGM starts x at x0), in
@@ -183,37 +184,41 @@ def _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise, verbskip, seed,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     return carry["x"], hist["F"], hist["G"], T
 
 
 def AdaptFGM(f, h, L, x0, maxitrs, epsilon=1e-14, verbose=True, noise=0,
-             verbskip=1, seed=0, chunk=None):
+             verbskip=1, seed=0, chunk=None, checkpoint=None):
     """Adaptive fast gradient method with halve-L-outer / double-L-inner
     adaptation and inexact-oracle slack (reference: algorithms.py:661-714).
     Returns ``(x, F, G, T)``."""
     header = ("\nAdaptFGM method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       L       time")
     return _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise, verbskip,
-                     seed, chunk, universal=False, header=header)
+                     seed, chunk, universal=False, header=header,
+                     checkpoint=checkpoint)
 
 
 def UniversalGM(f, h, L, x0, maxitrs, epsilon=1e-14, verbose=True,
-                noise_level=0, verbskip=1, seed=0, chunk=None):
+                noise_level=0, verbskip=1, seed=0, chunk=None, checkpoint=None):
     """Universal gradient method: same alpha/A scheme with additive noise
     injected into g_y and f(y) (reference: algorithms.py:717-777).
     Returns ``(x, F, G, T)``."""
     header = ("\nUniversalGM method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       L       time")
     return _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise_level,
-                     verbskip, seed, chunk, universal=True, header=header)
+                     verbskip, seed, chunk, universal=True, header=header,
+                     checkpoint=checkpoint)
 
 
 def PrimalDualSwitchingGradientMethod(f, h, L_init, cnstrnt_fun, x0, maxitrs,
                                       epsilon=1e-14, linesearch=True,
                                       verbose=True, verbskip=100, chunk=None,
                                       dual_max_inner=100, dual_tol=1e-9,
-                                      dual_lr=1e-3, gap_tol=1e-6):
+                                      dual_lr=1e-3, gap_tol=1e-6,
+                                      checkpoint=None):
     """Constrained min f(x) s.t. cnstrnt_fun(x) <= epsilon via switching
     between productive (objective) and unproductive (constraint-gradient)
     steps, with a Lagrange-multiplier estimate and a duality gap from an
@@ -311,6 +316,7 @@ def PrimalDualSwitchingGradientMethod(f, h, L_init, cnstrnt_fun, x0, maxitrs,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     F = hist["F"][hist["productive"].astype(bool)]
     return np.asarray(F), hist["gap"], hist["Ls"]

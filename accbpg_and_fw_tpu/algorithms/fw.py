@@ -37,7 +37,7 @@ def _raise_if_bad(hist):
 
 def FW_alg_div_step(f, h, L, x0, maxitrs, gamma, lmo, epsilon=1e-14,
                     linesearch=True, ls_ratio=2, verbose=True, verbskip=1,
-                    chunk=None):
+                    chunk=None, checkpoint=None):
     """Frank-Wolfe with Bregman divergence step size
 
         alpha_k = min( (-<g,d> / (2 L D_h(s,x)))^{1/(gamma-1)}, 1 )
@@ -108,13 +108,14 @@ def FW_alg_div_step(f, h, L, x0, maxitrs, gamma, lmo, epsilon=1e-14,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     _raise_if_bad(hist)
     return carry["x"], hist["F"], hist["Ls"], T
 
 
 def FW_alg_descent_step(f, h, x0, maxitrs, lmo, epsilon=1e-14, verbose=True,
-                        verbskip=1, chunk=None):
+                        verbskip=1, chunk=None, checkpoint=None):
     """Classic Frank-Wolfe with the parameter-free step alpha_k = 2/(k+2)
     (reference: algorithms_fw.py:210-247).  Returns ``(x, F, T, G)`` — the
     reference's (unusual) return order, with G an all-zeros placeholder.
@@ -156,14 +157,15 @@ def FW_alg_descent_step(f, h, x0, maxitrs, lmo, epsilon=1e-14, verbose=True,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     G = np.zeros_like(hist["F"])
     return carry["x"], hist["F"], T, G
 
 
 def FW_alg_L0_L1_shortest_step(f, h, L0, L1, x0, maxitrs, gamma, lmo,
                                epsilon=1e-14, linesearch=True, ls_ratio=2,
-                               verbose=True, verbskip=1, chunk=None):
+                               verbose=True, verbskip=1, chunk=None, checkpoint=None):
     """Frank-Wolfe for (L0,L1)-smooth f with the shortest-step rule
 
         a_k = L0 + L1 ||g||,
@@ -245,14 +247,15 @@ def FW_alg_L0_L1_shortest_step(f, h, L0, L1, x0, maxitrs, gamma, lmo,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     _raise_if_bad(hist)
     return carry["x"], hist["F"], hist["Ls"], T
 
 
 def _l0l1_log_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon,
                    L0_max, L1_max, linesearch, verbose, verbskip, chunk,
-                   log_only, header):
+                   checkpoint, log_only, header):
     """Shared engine for FW_l0l1_log_and_linear_step / FW_l0l1_log_only
     (reference: algorithms_fw.py:250-349 and :352-453)."""
     if ls_ratio < 1:
@@ -343,7 +346,8 @@ def _l0l1_log_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon,
 
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk)
+                                print_row=row, chunk=chunk,
+                                checkpoint=checkpoint)
     _raise_if_bad(hist)
     return carry["x"], hist["F"], hist["Ls"], hist["LOG_STEPS"], T
 
@@ -351,7 +355,7 @@ def _l0l1_log_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon,
 def FW_l0l1_log_and_linear_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio,
                                 epsilon=1e-14, L0_max=None, L1_max=None,
                                 linesearch=True, verbose=True, verbskip=50,
-                                chunk=None):
+                                chunk=None, checkpoint=None):
     """(L0,L1)-smooth FW with a logarithmic step when L1||d|| >= ln 2 and a
     linear step otherwise; acceptance uses the expm1-guarded exponential
     bound (reference: algorithms_fw.py:250-349).  Returns
@@ -362,12 +366,12 @@ def FW_l0l1_log_and_linear_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio,
               "     k      F(x)         L         L0         L1     log step count       time")
     return _l0l1_log_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon,
                           L0_max, L1_max, linesearch, verbose, verbskip,
-                          chunk, log_only=False, header=header)
+                          chunk, checkpoint, log_only=False, header=header)
 
 
 def FW_l0l1_log_only(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon=1e-14,
                      L0_max=None, L1_max=None, linesearch=True, verbose=True,
-                     verbskip=50, chunk=None):
+                     verbskip=50, chunk=None, checkpoint=None):
     """(L0,L1)-smooth FW forcing the log step: L1 is floored at
     ln(2)/||d|| each iteration and (L0,L1) back off with an alternating
     toggle (reference: algorithms_fw.py:352-453).  Returns
@@ -377,4 +381,4 @@ def FW_l0l1_log_only(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon=1e-14,
               "     k      F(x)         L         L0         L1     log step count       time")
     return _l0l1_log_step(f, h, L0, L1, x0, maxitrs, lmo, ls_ratio, epsilon,
                           L0_max, L1_max, linesearch, verbose, verbskip,
-                          chunk, log_only=True, header=header)
+                          chunk, checkpoint, log_only=True, header=header)

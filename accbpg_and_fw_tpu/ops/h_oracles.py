@@ -240,6 +240,12 @@ class SumOf2nd4thPowers(LegendreOracle):
         z = solve_cubic(self.alpha * jnp.vdot(u, u), self.sigma)
         return u / z
 
+    def prox_map(self, g, L):
+        # argmin <g,x> + L h(x)  =>  grad h(x) = -g/L  (the reference leaves
+        # this unimplemented, functions.py:493-555, so its own dual-averaging
+        # and AIBM paths cannot use these kernels; here it is the same cubic)
+        return self._grad_inverse(-g / L)
+
     def div_prox_map(self, y, g, L):
         return self._grad_inverse(self._mirror_point(y, g, L))
 
@@ -251,13 +257,16 @@ class SumOf2nd4thPowersPositiveOrthant(SumOf2nd4thPowers):
 
     upper_bound: Any = None
 
-    def div_prox_map(self, y, g, L):
-        u = self._mirror_point(y, g, L)
+    def _clip(self, u):
         if self.upper_bound is None:
-            u = jnp.maximum(u, 0.0)
-        else:
-            u = jnp.clip(u, 0.0, self.upper_bound)
-        return self._grad_inverse(u)
+            return jnp.maximum(u, 0.0)
+        return jnp.clip(u, 0.0, self.upper_bound)
+
+    def prox_map(self, g, L):
+        return self._grad_inverse(self._clip(-g / L))
+
+    def div_prox_map(self, y, g, L):
+        return self._grad_inverse(self._clip(self._mirror_point(y, g, L)))
 
 
 @pytree_dataclass

@@ -1,0 +1,52 @@
+"""Smoke tests: every example script runs end-to-end at tiny sizes."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+def test_dopt_random_example():
+    import ex_Dopt_random
+
+    out = ex_Dopt_random.start(m=15, n=40, maxitrs=60, verbose=False)
+    assert all(len(F) > 0 for F in out.values())
+
+
+def test_lr_l2l1linf_example():
+    import ex_LR_L2L1Linf
+
+    F1, F2 = ex_LR_L2L1Linf.test_L2L1Linf(m=40, n=60, maxitrs=40,
+                                          verbose=False)
+    assert F1[-1] < F1[0] and F2[-1] < F2[0]
+
+
+def test_fw_l0l1_example():
+    import ex_fw_l0l1
+
+    out = ex_fw_l0l1.start(domain="l2", n_samples=80, n_features=20,
+                           maxitrs=40, verbose=False)
+    assert all(F[-1] < F[0] for F in out.values())
+
+
+def test_symnmf_example():
+    import ex_SymNMF
+
+    out = ex_SymNMF.start(n=30, r=2, maxitrs=40, verbose=False)
+    assert all(len(F) > 0 for F in out.values())
+
+
+def test_primal_dual_example():
+    import ex_primal_dual
+
+    F, gaps, Ls = ex_primal_dual.start(n=12, r=2, maxitrs=40, verbose=False)
+    assert len(gaps) > 0
+
+
+def test_multichip_example():
+    import ex_multichip
+
+    F1, F2, Fa = ex_multichip.start(m=10, n=64, maxitrs=40, verbose=False)
+    assert abs(float(F1[-1]) - float(F2[-1])) < 1e-9
