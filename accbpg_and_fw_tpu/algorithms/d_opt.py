@@ -61,11 +61,36 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
 
 
-def _make_dopt_step(V, eps, *, away):
+def _make_dopt_step(V, eps, *, away, u_mode="auto"):
+    """``u_mode`` selects how the O(mn) rank-1 w-update contraction
+    u = (H v)^T V is computed:
+
+    * "exact": native dtype dot (bit-matches the reference trajectory on
+      CPU; ~25x slower than f32 on TPU for f64 inputs, which have no
+      hardware matmul path);
+    * "mixed": Ozaki-style int8 digit contraction with exact int32
+      accumulation (ops/mixed_precision.py) — ~3e-12 relative error at
+      ~1/9 the TPU-f64 cost;
+    * "auto": "mixed" exactly when running f64 on a TPU backend.
+    """
     m, n = V.shape
     dt = V.dtype
     m_f = jnp.asarray(float(m), dt)
     eps = jnp.asarray(eps, dt)
+
+    if u_mode == "auto":
+        u_mode = ("mixed" if dt == jnp.float64
+                  and jax.default_backend() == "tpu" else "exact")
+    if u_mode == "mixed":
+        from ..ops.mixed_precision import digit_split_matrix, ozaki_gemv
+
+        V_digits, sV = digit_split_matrix(V, levels=7)
+
+        def u_of(hv):
+            return ozaki_gemv(hv, V_digits, sV, levels_a=7, max_diag=6).astype(dt)
+    else:
+        def u_of(hv):
+            return hv @ V
 
     def toward_update(state, i, wi):
         x, w, H, logdet = state
@@ -74,7 +99,7 @@ def _make_dopt_step(V, eps, *, away):
         HVi = H @ Vi
         c = t / (1.0 - t + t * wi)  # == t / (1 + t*(wi-1))
         H_new = (H - c * jnp.outer(HVi, HVi)) / (1.0 - t)
-        u = HVi @ V
+        u = u_of(HVi)
         # Force u_i == w_i: the exact line search sets the new w_i to exactly
         # m only when the recomputed v_i^T H v_i agrees with the incrementally
         # tracked w_i.  At float64 CPU precision they agree to ~1e-15 (no-op);
@@ -95,7 +120,7 @@ def _make_dopt_step(V, eps, *, away):
         HVj = H @ Vj
         c = t / (1.0 + t - t * wj)
         H_new = (H + c * jnp.outer(HVj, HVj)) / (1.0 + t)
-        u = HVj @ V
+        u = u_of(HVj)
         u = u.at[j].set(wj)  # consistency pin; see toward_update
         w_new = (w + c * u * u) / (1.0 + t)
         x_new = (x * (1.0 + t)).at[j].add(-t)
@@ -140,11 +165,11 @@ def _make_dopt_step(V, eps, *, away):
 
 
 def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
-              refresh_every, header, checkpoint=None):
+              refresh_every, header, checkpoint=None, u_mode="auto"):
     V = jnp.asarray(V)
     x0 = jnp.asarray(x0, V.dtype)
     H, w, logdet = _dopt_factorize(V, x0)
-    step = _make_dopt_step(V, eps, away=away)
+    step = _make_dopt_step(V, eps, away=away, u_mode=u_mode)
     carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
 
     between = None
@@ -178,7 +203,7 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
 
 
 def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
-             refresh_every=0, checkpoint=None):
+             refresh_every=0, checkpoint=None, u_mode="auto"):
     """Khachiyan Frank-Wolfe for D-optimal design on the simplex with rank-1
     Sherman-Morrison updates of H = (V diag(x) V^T)^{-1} and w = -gradient
     (reference: D_opt_alg.py:9-88).  Returns ``(x, F, SP, SN, T)``.
@@ -187,11 +212,11 @@ def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
               "     k      F(x)     pos_slack   neg_slack    time")
     return _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk,
                      away=False, refresh_every=refresh_every, header=header,
-                     checkpoint=checkpoint)
+                     checkpoint=checkpoint, u_mode=u_mode)
 
 
 def D_opt_FW_away(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
-                  refresh_every=0, checkpoint=None):
+                  refresh_every=0, checkpoint=None, u_mode="auto"):
     """Wolfe-Atwood method: Frank-Wolfe with away steps for D-optimal design
     (linearly convergent; reference: D_opt_alg.py:91-185).
     Returns ``(x, F, SP, SN, T)``.
@@ -200,4 +225,4 @@ def D_opt_FW_away(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
               "     k      F(x)     pos_slack   neg_slack    time")
     return _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk,
                      away=True, refresh_every=refresh_every, header=header,
-                     checkpoint=checkpoint)
+                     checkpoint=checkpoint, u_mode=u_mode)

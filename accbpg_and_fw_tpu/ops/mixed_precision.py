@@ -1,0 +1,81 @@
+"""Exact-accumulation mixed-precision contractions (Ozaki-style int8 splits).
+
+TPU f64 matmuls have no hardware path: XLA lowers them to software-emulated
+scalar arithmetic (measured ~3.2 ms for a 1000x5000 f64 GEMV inside a scan,
+~25x slower than the same f32 contraction).  This module reaches near-f64
+GEMV accuracy on the int8 MXU instead:
+
+* each operand is split into radix-64 signed digits (int8), with
+  power-of-two scales so the split is EXACT;
+* digit-pair products are at most 2^14, so int32 MXU accumulation over
+  K <= 2^16 rows is EXACT — no rounding anywhere until the final f64
+  combine;
+* truncating digit pairs beyond diagonal D leaves a relative error
+  ~64^-D; with 7 digit levels and D=6 the measured error is ~3e-12
+  (vs 2e-15 for true f64, 1.7e-7 for f32) at ~1/9 the f64 cost.
+
+Used by the D-opt Frank-Wolfe solvers for the O(mn) rank-1 w-updates; the
+split of the fixed design matrix is precomputed once per solve.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+BASE = 64.0  # radix-64 digits: |digit| <= 64 fits int8; products <= 2^14
+
+
+def digit_split_matrix(B, levels: int):
+    """Split matrix B (f64/f32, shape (m, n)) into int8 digit planes with
+    per-COLUMN power-of-two scales.  Returns (digits[levels, m, n], s[n])
+    with B == sum_p digits[p] * BASE**-(p+1) * s + O(BASE**-levels)."""
+    B = jnp.asarray(B)
+    s = 2.0 ** jnp.ceil(jnp.log2(jnp.max(jnp.abs(B), axis=0) + 1e-300))
+    r = B / s
+    planes = []
+    for _ in range(levels):
+        d = jnp.round(r * BASE)
+        planes.append(d.astype(jnp.int8))
+        r = r * BASE - d
+    return jnp.stack(planes), s
+
+
+def digit_split_vector(a, levels: int):
+    """Split vector a into int8 digit planes with one power-of-two scale."""
+    a = jnp.asarray(a)
+    s = 2.0 ** jnp.ceil(jnp.log2(jnp.max(jnp.abs(a)) + 1e-300))
+    r = a / s
+    planes = []
+    for _ in range(levels):
+        d = jnp.round(r * BASE)
+        planes.append(d.astype(jnp.int8))
+        r = r * BASE - d
+    return jnp.stack(planes), s
+
+
+def ozaki_gemv(a, B_digits, sB, levels_a: int = 7, max_diag: int = 6):
+    """u = a @ B through exact int8/int32 digit products.
+
+    a: (m,) f64; B_digits/sB from digit_split_matrix.  Digit pairs (p, q)
+    with p + q <= max_diag are contracted on the int8 MXU with exact int32
+    accumulation; same-diagonal results combine in int32 and lift to f64
+    with their shared exact scale.
+    """
+    levels_b = B_digits.shape[0]
+    a_digits, sa = digit_split_vector(a, levels_a)
+    n = B_digits.shape[2]
+    out = jnp.zeros(n, jnp.float64)
+    for d in range(max_diag + 1):
+        acc = None
+        for p in range(max(0, d - levels_b + 1), min(d, levels_a - 1) + 1):
+            q = d - p
+            r32 = lax.dot_general(
+                a_digits[p][None, :], B_digits[q],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )[0]
+            acc = r32 if acc is None else acc + r32
+        if acc is not None:
+            out = out + acc.astype(jnp.float64) * (BASE ** -(d + 2))
+    return out * (sa * sB)
