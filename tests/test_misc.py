@@ -1,0 +1,89 @@
+"""Coverage for diagnostics, TSE estimation, and visualization."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import accbpg_and_fw_tpu as acc
+from accbpg_and_fw_tpu import diagnostics
+
+
+class TestTSE:
+    def test_calculate_tse_constant_euclidean(self):
+        # For h = (1/2)||x||^2, D((1-a)x+ay, (1-a)x+az) = a^2 D(y,z) exactly,
+        # so the empirical TSE is ~2 (reference: functions.py:1107-1152)
+        h = acc.SquaredL2Norm()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(10))
+        y = jnp.asarray(rng.standard_normal(10))
+        z = jnp.asarray(rng.standard_normal(10))
+        alpha = 0.3
+        lhs_a = (1 - alpha) * x + alpha * y
+        lhs_b = (1 - alpha) * x + alpha * z
+        gamma = float(acc.calculate_tse_constant(h, lhs_a, lhs_b, y, z, alpha))
+        assert gamma == pytest.approx(2.0, abs=1e-3)
+
+    def test_calculate_tse_rejects_bad_alpha(self):
+        h = acc.SquaredL2Norm()
+        v = jnp.ones(3)
+        with pytest.raises(ValueError):
+            acc.calculate_tse_constant(h, v, v, v, v, alpha=1.5)
+
+    def test_tse_curve_shapes(self):
+        from accbpg_and_fw_tpu.viz import tse_curve
+
+        h = acc.ShannonEntropy()
+        rng = np.random.default_rng(0)
+        x, y, z = (rng.random(8) for _ in range(3))
+        thetas = np.linspace(0.05, 0.95, 19)
+        curve = np.asarray(tse_curve(h, x, y, z, thetas))
+        assert curve.shape == (19,)
+        assert np.isfinite(curve).all()
+
+    def test_plotTSE_runs(self):
+        acc.plotTSE(acc.BurgEntropy(), dim=5, nTriples=2, nThetas=20, randseed=1)
+        acc.plotTSE0(acc.PowerNeg1(), dim=5, nThetas=20)
+
+
+class TestViz:
+    def test_plot_comparisons(self):
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        F1 = np.geomspace(1, 1e-6, 50)
+        F2 = np.geomspace(1, 1e-4, 50)
+        acc.plot_comparisons(ax, [F1, F2], ["a", "b"], plotdiff=True,
+                             yscale="log", xlabel="k", ylabel="F")
+        assert len(ax.lines) == 2
+        plt.close(fig)
+
+
+class TestDiagnostics:
+    def test_check_domain(self):
+        diagnostics.check_domain(acc.BurgEntropy(), np.ones(4))
+        with pytest.raises(ValueError, match="positive"):
+            diagnostics.check_domain(acc.BurgEntropy(), np.array([1.0, -1.0]))
+        with pytest.raises(ValueError, match="simplex"):
+            diagnostics.check_domain(acc.BurgEntropySimplex(), np.ones(4))
+        diagnostics.check_domain(acc.BurgEntropySimplex(), np.full(4, 0.25))
+
+    def test_debug_mode_roundtrip(self):
+        import jax
+
+        with diagnostics.debug_mode():
+            assert jax.config.jax_debug_nans
+        assert not jax.config.jax_debug_nans
+
+    def test_iteration_rate(self):
+        rate, total = diagnostics.iteration_rate(np.linspace(0, 2.0, 101))
+        assert rate == pytest.approx(50.0)
+        assert total == pytest.approx(2.0)
+
+    def test_divergence_is_valid(self):
+        h = acc.SquaredL2Norm()
+        assert bool(diagnostics.divergence_is_valid(h, jnp.ones(3), jnp.zeros(3)))
