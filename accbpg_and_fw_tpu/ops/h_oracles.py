@@ -101,13 +101,25 @@ class BurgEntropySimplex(BurgEntropy):
     prox_map solves sum_i 1/(g_i/L + c) = 1 for the multiplier c with a
     jit-compiled bisection+Newton (roots.simplex_inv_multiplier); every
     Newton step is a full-vector reduction that psums under sharding.
+
+    ``use_pallas=True`` runs the whole root-find as a single Pallas TPU
+    kernel with the vector resident in VMEM (ops/pallas_kernels.py) —
+    ~an-order-of-magnitude lower latency for the latency-bound small/medium
+    sizes.  Opt-in: only valid for UNSHARDED float32 iterates on a single
+    chip (a sharded input needs the XLA path's global reductions).
     """
 
     eps: Any = 1e-8
+    use_pallas: bool = static_field(default=False)
 
     def prox_map(self, g, L):
         gg = g / L
-        c = simplex_inv_multiplier(gg, self.eps)
+        if self.use_pallas:
+            from .pallas_kernels import simplex_inv_multiplier_pallas
+
+            c = simplex_inv_multiplier_pallas(gg)
+        else:
+            c = simplex_inv_multiplier(gg, self.eps)
         return 1.0 / (gg + c)
 
 

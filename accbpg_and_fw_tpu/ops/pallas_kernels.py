@@ -1,0 +1,91 @@
+"""Pallas TPU kernels for the inner solvers.
+
+``simplex_inv_multiplier_pallas`` runs the Burg-simplex multiplier
+root-find (ops/roots.py:simplex_inv_multiplier) as ONE kernel: the vector
+lives in VMEM for the entire solve, the bisection and Newton recurrences
+are ``fori_loop``s over VMEM data with converged-freeze guards, and only
+the scalar multiplier leaves the core.
+
+Honest measurement (v5e, in-scan, n=1000 f32): the pallas kernel and the
+XLA while_loop path both cost ~70 us — on this part the fixed per-call
+latency dominates and moving the loop into one kernel does not beat XLA's
+own fusion.  The kernel is therefore OPT-IN (``BurgEntropySimplex(
+use_pallas=True)``), kept as the building block for future fused
+whole-iteration kernels (where amortizing that fixed latency across the
+full BPG step body is the actual win).  Only valid for unsharded f32
+single-chip inputs; sharded inputs need the XLA path's global reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_LANE = 128
+_BISECT_ITERS = 64
+_NEWTON_ITERS = 24
+
+
+def _simplex_kernel(g_ref, out_ref):
+    """Solve sum_i 1/(g_i + c) = 1 for c; g padded with +inf."""
+    gg = g_ref[:]
+    cmin = -jnp.min(gg)
+
+    def resid(c):
+        return jnp.sum(1.0 / (gg + c)) - 1.0
+
+    # Phase 1: bisect from cmin + 1 toward cmin until resid >= 0
+    def bi_body(_, c):
+        r = resid(c)
+        return jnp.where(r < 0.0, 0.5 * (cmin + c), c)
+
+    c = lax.fori_loop(0, _BISECT_ITERS, bi_body, cmin + 1.0)
+
+    # Phase 2: Newton with freeze-on-stall (resid convex decreasing in c)
+    def nw_body(_, state):
+        c, fc = state
+        fpc = jnp.sum(-1.0 / (gg + c) ** 2)
+        c_new = c - fc / fpc
+        stall = (c_new == c) | (jnp.abs(fc) <= 1e-8)
+        c_new = jnp.where(stall, c, c_new)
+        fc_new = jnp.where(stall, fc, resid(c_new))
+        return (c_new, fc_new)
+
+    c, _ = lax.fori_loop(0, _NEWTON_ITERS, nw_body, (c, resid(c)))
+    out_ref[0, 0] = c
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def simplex_inv_multiplier_pallas(gg, interpret=False):
+    """One-kernel Burg-simplex multiplier for f32 vectors (see module doc)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gg = jnp.asarray(gg, jnp.float32)
+    n = gg.shape[0]
+    pad = (-n) % _LANE
+    if pad:
+        gg = jnp.concatenate([gg, jnp.full(pad, jnp.inf, jnp.float32)])
+    gg2 = gg.reshape(1, -1)
+
+    out = pl.pallas_call(
+        _simplex_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=interpret,
+    )(gg2)
+    return out[0, 0]
+
+
+def use_pallas_simplex(x) -> bool:
+    """Dispatch rule: pallas path for unsharded f32 on a TPU backend."""
+    try:
+        return (jax.default_backend() == "tpu"
+                and jnp.result_type(x) == jnp.float32
+                and x.ndim == 1)
+    except Exception:
+        return False

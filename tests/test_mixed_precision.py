@@ -63,3 +63,19 @@ def test_dopt_mixed_matches_exact():
     # both converge; final objectives agree to the digit-truncation level
     assert abs(float(r_exact[1][-1]) - float(r_mixed[1][-1])) < 1e-8
     assert r_mixed[2][-1] <= 1e-7 and r_mixed[3][-1] <= 1e-7
+
+def test_packed_gemv_matches_loop(problem):
+    a, B = problem
+    from accbpg_and_fw_tpu.ops.mixed_precision import (
+        ozaki_gemv_packed,
+        pack_digit_planes,
+    )
+
+    u_true = a @ B
+    digitsB, sB = digit_split_matrix(jnp.asarray(B), 7)
+    packed = pack_digit_planes(digitsB)
+    u = np.asarray(jax.jit(
+        lambda a: ozaki_gemv_packed(a, packed, sB, levels_b=7)
+    )(jnp.asarray(a)))
+    rel = np.max(np.abs(u - u_true)) / np.max(np.abs(u_true))
+    assert rel < 1e-10
