@@ -50,3 +50,13 @@ def test_multichip_example():
 
     F1, F2, Fa = ex_multichip.start(m=10, n=64, maxitrs=40, verbose=False)
     assert abs(float(F1[-1]) - float(F2[-1])) < 1e-9
+
+
+def test_dopt_sweep_example():
+    import ex_Dopt_sweep
+
+    out = ex_Dopt_sweep.start(m=8, n_list=(40, 60), K=2, eps=1e-5,
+                              num_iters=500, verbose=False)
+    for n, r in out.items():
+        assert all(i >= 0 for i in r["iters"]), (n, r)
+        assert r["geomean"] > 0
