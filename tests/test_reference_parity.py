@@ -1,0 +1,158 @@
+"""Golden trajectory parity against the ACTUAL reference implementation.
+
+These tests load the unmodified reference drivers from /root/reference
+(read-only mount; skipped when absent) and compare trajectories:
+
+* the reference D-opt solvers run standalone (numpy only) — our scan
+  drivers must match their histories on identical seeded instances;
+* the reference BPG-family/FW drivers run against OUR oracle objects
+  (the reference's own oracles need cvxpy, unavailable here; its drivers
+  only need the f/h oracle protocol, which ours implement) — driver-logic
+  parity isolated from oracle arithmetic.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import accbpg_and_fw_tpu as acc
+
+REF = "/root/reference/accbpg"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+
+def _load_ref(name, stub_utils=False):
+    if stub_utils and "accbpg" not in sys.modules:
+        # algorithms.py does `from accbpg.utils import ...`; register the
+        # reference's own utils module under that name
+        pkg = types.ModuleType("accbpg")
+        spec_u = importlib.util.spec_from_file_location(
+            "accbpg.utils", os.path.join(REF, "utils.py"))
+        utils = importlib.util.module_from_spec(spec_u)
+        spec_u.loader.exec_module(utils)
+        pkg.utils = utils
+        sys.modules["accbpg"] = pkg
+        sys.modules["accbpg.utils"] = utils
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{name}", os.path.join(REF, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestDOptGolden:
+    def test_fw_away_trajectory_identical(self):
+        ref = _load_ref("D_opt_alg")
+        np.random.seed(7)
+        V = np.random.randn(15, 120)
+        x0 = np.full(120, 1 / 120)
+
+        xr, Fr, SPr, SNr, Tr = ref.D_opt_FW_away(V, x0.copy(), 1e-7, 5000,
+                                                 verbose=False)
+        xo, Fo, SPo, SNo, To = acc.D_opt_FW_away(V, x0, eps=1e-7,
+                                                 maxitrs=5000, verbose=False,
+                                                 chunk=500)
+        assert len(Fr) == len(Fo)  # identical stopping iteration
+        np.testing.assert_allclose(SPr, SPo, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(xo), atol=1e-9)
+        # reference F recomputes det(H); ours tracks logdet — same values
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-9)
+
+    def test_fw_plain_trajectory_identical(self):
+        ref = _load_ref("D_opt_alg")
+        np.random.seed(8)
+        V = np.random.randn(12, 100)
+        x0 = np.full(100, 0.01)
+
+        xr, Fr, SPr, SNr, Tr = ref.D_opt_FW(V, x0.copy(), 1e-4, 3000,
+                                            verbose=False)
+        xo, Fo, SPo, SNo, To = acc.D_opt_FW(V, x0, eps=1e-4, maxitrs=3000,
+                                            verbose=False, chunk=500)
+        assert len(Fr) == len(Fo)
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-9)
+
+
+class TestDriverLogicGolden:
+    """Reference driver loops executed on OUR oracles vs our scan drivers."""
+
+    @pytest.fixture(scope="class")
+    def problem(self):
+        return acc.D_opt_design(12, 40, randseed=5)
+
+    def test_bpg(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        xr, Fr, Lr, Tr = ref.BPG(f, h, L, np.asarray(x0), 60, verbose=False)
+        xo, Fo, Lo, To = acc.BPG(f, h, L, x0, 60, verbose=False)
+        assert len(Fr) == len(Fo)
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(Lr, float), Lo, rtol=1e-12)
+
+    def test_abpg(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        xr, Fr, Gr, Tr = ref.ABPG(f, h, L, np.asarray(x0), gamma=2,
+                                  maxitrs=60, verbose=False)
+        xo, Fo, Go, To = acc.ABPG(f, h, L, x0, gamma=2, maxitrs=60,
+                                  verbose=False)
+        assert len(Fr) == len(Fo)
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-8)
+        np.testing.assert_allclose(Gr[1:], Go[1:], rtol=1e-5)
+
+    def test_abpg_theta_eq_and_restart(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        for kwargs in ({"theta_eq": True},
+                       {"restart": True, "restart_rule": "g"},
+                       {"restart": True, "restart_rule": "f"}):
+            xr, Fr, Gr, Tr = ref.ABPG(f, h, L, np.asarray(x0), gamma=2,
+                                      maxitrs=50, verbose=False, **kwargs)
+            xo, Fo, Go, To = acc.ABPG(f, h, L, x0, gamma=2, maxitrs=50,
+                                      verbose=False, **kwargs)
+            assert len(Fr) == len(Fo), kwargs
+            np.testing.assert_allclose(Fr, Fo, rtol=1e-7, err_msg=str(kwargs))
+
+    def test_abpg_gain(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        out_r = ref.ABPG_gain(f, h, L, np.asarray(x0), gamma=2, maxitrs=40,
+                              verbose=False)
+        out_o = acc.ABPG_gain(f, h, L, x0, gamma=2, maxitrs=40, verbose=False)
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)  # F
+        np.testing.assert_allclose(out_r[2], out_o[2], rtol=1e-6)  # Gain
+
+    def test_abda(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        xr, Fr, Gr, Tr = ref.ABDA(f, h, L, np.asarray(x0), gamma=2,
+                                  maxitrs=60, verbose=False)
+        xo, Fo, Go, To = acc.ABDA(f, h, L, x0, gamma=2, maxitrs=60,
+                                  verbose=False)
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-8)
+
+    def test_fw_div_step(self, problem):
+        ref = _load_ref("algorithms_fw")
+        f, h, L, x0 = problem
+        lmo = acc.lmo_simplex()
+        xr, Fr, Lr, Tr = ref.FW_alg_div_step(f, h, L, np.asarray(x0), 60,
+                                             2.0, lmo, verbose=False)
+        xo, Fo, Lo, To = acc.FW_alg_div_step(f, h, L, x0, 60, 2.0, lmo,
+                                             verbose=False)
+        assert len(Fr) == len(Fo)
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-8)
+
+    def test_fw_descent_step(self, problem):
+        ref = _load_ref("algorithms_fw")
+        f, h, L, x0 = problem
+        lmo = acc.lmo_simplex()
+        xr, Fr, Tr, Gr = ref.FW_alg_descent_step(f, h, np.asarray(x0), 60,
+                                                 lmo, verbose=False)
+        xo, Fo, To, Go = acc.FW_alg_descent_step(f, h, x0, 60, lmo,
+                                                 verbose=False)
+        assert len(Fr) == len(Fo)
+        np.testing.assert_allclose(Fr, Fo, rtol=1e-9)
