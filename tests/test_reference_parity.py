@@ -156,3 +156,81 @@ class TestDriverLogicGolden:
                                                  verbose=False)
         assert len(Fr) == len(Fo)
         np.testing.assert_allclose(Fr, Fo, rtol=1e-9)
+
+
+class TestDriverLogicGoldenExtras:
+    @pytest.fixture(scope="class")
+    def problem(self):
+        return acc.D_opt_design(12, 40, randseed=5)
+
+    def test_abpg_expo(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        out_r = ref.ABPG_expo(f, h, L, np.asarray(x0), gamma0=3, maxitrs=40,
+                              theta_eq=False, Gmargin=1, verbose=False)
+        out_o = acc.ABPG_expo(f, h, L, x0, gamma0=3, maxitrs=40,
+                              theta_eq=False, Gmargin=1, verbose=False)
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)  # F
+        np.testing.assert_allclose(out_r[2], out_o[2], rtol=1e-10)  # Gamma
+
+    def test_aibm_noiseless(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        out_r = ref.AIBM(f, h, L, np.asarray(x0), gamma=2.0, maxitrs=40,
+                         noise=0, verbose=False)
+        out_o = acc.AIBM(f, h, L, x0, gamma=2.0, maxitrs=40, noise=0,
+                         verbose=False)
+        assert len(out_r[1]) == len(out_o[1])
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
+
+    def test_adapt_fgm_noiseless(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        out_r = ref.AdaptFGM(f, h, L, np.asarray(x0), maxitrs=40, noise=0,
+                             verbose=False)
+        out_o = acc.AdaptFGM(f, h, L, x0, maxitrs=40, noise=0, verbose=False)
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
+
+    def test_universal_gm_noiseless(self, problem):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, h, L, x0 = problem
+        out_r = ref.UniversalGM(f, h, L, np.asarray(x0), maxitrs=40,
+                                noise_level=0, verbose=False)
+        out_o = acc.UniversalGM(f, h, L, x0, maxitrs=40, noise_level=0,
+                                verbose=False)
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
+
+    def test_fw_l0l1_shortest(self):
+        ref = _load_ref("algorithms_fw")
+        import jax
+
+        f, h, L, L0, L1, x0, X, y = acc.hard_FW_log_reg_jax(
+            jax.random.PRNGKey(2), 80, 15, radius=1.5, domain="l2")
+        lmo = acc.lmo_l2_ball(1.5)
+        out_r = ref.FW_alg_L0_L1_shortest_step(
+            f, h, float(L0) + 1e-3, float(L1), np.asarray(x0), 40, 2.0, lmo,
+            verbose=False)
+        out_o = acc.FW_alg_L0_L1_shortest_step(
+            f, h, float(L0) + 1e-3, float(L1), x0, 40, gamma=2.0, lmo=lmo,
+            verbose=False)
+        assert len(out_r[1]) == len(out_o[1])
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
+        np.testing.assert_allclose(out_r[2], out_o[2], rtol=1e-6)  # a_k
+
+    def test_fw_l0l1_log_variants(self):
+        ref = _load_ref("algorithms_fw")
+        import jax
+
+        f, h, L, L0, L1, x0, X, y = acc.hard_FW_log_reg_jax(
+            jax.random.PRNGKey(2), 80, 15, radius=1.5, domain="l2")
+        lmo = acc.lmo_l2_ball(1.5)
+        out_r = ref.FW_l0l1_log_and_linear_step(
+            f, h, 1e-3, float(L1), np.asarray(x0), 40, lmo, 2.0,
+            verbose=False)
+        out_o = acc.FW_l0l1_log_and_linear_step(
+            f, h, 1e-3, float(L1), x0, 40, lmo=lmo, ls_ratio=2.0,
+            verbose=False)
+        assert len(out_r[1]) == len(out_o[1])
+        np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
+        # final cumulative log-step count matches the reference's last entry
+        assert int(out_r[3][-1]) == int(out_o[3][-1])
