@@ -23,5 +23,6 @@ from .apps import *  # noqa: F401,F403  (problem factories + utils)
 from .apps import __all__ as _apps_all
 from .viz import *  # noqa: F401,F403  (plot_comparisons, plotTSE)
 from .viz import __all__ as _viz_all
+from . import diagnostics, parallel  # noqa: F401  (submodule access)
 
 __all__ = list(_ops_all) + list(_alg_all) + list(_apps_all) + list(_viz_all)

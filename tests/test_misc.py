@@ -87,3 +87,16 @@ class TestDiagnostics:
     def test_divergence_is_valid(self):
         h = acc.SquaredL2Norm()
         assert bool(diagnostics.divergence_is_valid(h, jnp.ones(3), jnp.zeros(3)))
+
+
+def test_accbpg_compat_alias():
+    """Reference user code (`import accbpg`) runs unchanged on this framework."""
+    import accbpg
+
+    f, h, L, x0 = accbpg.D_opt_design(10, 30, randseed=1)
+    x, F, Ls, T = accbpg.BPG(f, h, L, x0, maxitrs=20, verbose=False)
+    assert F[-1] < F[0]
+    for name in ("ABPG", "ABPG_gain", "ABDA", "FW_alg_div_step", "D_opt_FW",
+                 "D_opt_FW_away", "lmo_simplex", "plot_comparisons",
+                 "Poisson_regrL1", "solve_theta"):
+        assert hasattr(accbpg, name), name

@@ -26,23 +26,38 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference checkout not available")
 
 
+_REF_CACHE = {}
+
+
 def _load_ref(name, stub_utils=False):
-    if stub_utils and "accbpg" not in sys.modules:
-        # algorithms.py does `from accbpg.utils import ...`; register the
-        # reference's own utils module under that name
-        pkg = types.ModuleType("accbpg")
-        spec_u = importlib.util.spec_from_file_location(
-            "accbpg.utils", os.path.join(REF, "utils.py"))
-        utils = importlib.util.module_from_spec(spec_u)
-        spec_u.loader.exec_module(utils)
-        pkg.utils = utils
-        sys.modules["accbpg"] = pkg
-        sys.modules["accbpg.utils"] = utils
-    spec = importlib.util.spec_from_file_location(
-        f"ref_{name}", os.path.join(REF, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    if name in _REF_CACHE:
+        return _REF_CACHE[name]
+    # algorithms.py does `from accbpg.utils import ...`; temporarily register
+    # the reference's own utils module under that name (displacing our
+    # compatibility alias package for the duration of the exec)
+    saved = {k: sys.modules.get(k) for k in ("accbpg", "accbpg.utils")}
+    try:
+        if stub_utils:
+            pkg = types.ModuleType("accbpg")
+            spec_u = importlib.util.spec_from_file_location(
+                "accbpg.utils", os.path.join(REF, "utils.py"))
+            utils = importlib.util.module_from_spec(spec_u)
+            spec_u.loader.exec_module(utils)
+            pkg.utils = utils
+            sys.modules["accbpg"] = pkg
+            sys.modules["accbpg.utils"] = utils
+        spec = importlib.util.spec_from_file_location(
+            f"ref_{name}", os.path.join(REF, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _REF_CACHE[name] = mod
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
 
 
 class TestDOptGolden:
