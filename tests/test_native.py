@@ -71,3 +71,22 @@ def test_native_speedup_on_larger_file(tmp_path):
     data, indices, indptr, labels = out
     assert len(labels) == 2000
     assert indptr[-1] == len(data) == 2000 * 20
+
+
+def test_d_opt_libsvm_end_to_end(tmp_path):
+    """LIBSVM file -> native parse -> D-opt problem -> solver."""
+    import accbpg_and_fw_tpu as acc
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for _ in range(12):  # 12 samples x 30 features -> transposed to 12x30? m<n
+        idx = np.arange(1, 31)
+        vals = rng.standard_normal(30)
+        rows.append("1 " + " ".join(f"{i}:{v:.5f}" for i, v in zip(idx, vals)))
+    p = tmp_path / "design.txt"
+    p.write_text("\n".join(rows) + "\n")
+
+    f, h, L, x0 = acc.D_opt_libsvm(str(p))
+    assert f.H.shape == (12, 30)  # transposed so m < n
+    x, F, Ls, T = acc.BPG(f, h, L, x0, maxitrs=50, verbose=False)
+    assert np.isfinite(F).all() and F[-1] < F[0]
