@@ -7,10 +7,17 @@ function executed as ``lax.scan`` chunks on device (see ``driver.py``), with
 the backtracking line searches expressed as bounded ``lax.while_loop``s
 carrying ``(L-or-G, trial state)`` so a whole line search compiles into the
 iteration kernel instead of re-entering Python per trial.
+
+Steps are module-level functions taking the problem (oracles + scalar
+hyperparameters) as a traced argument, so compiled chunk executables are
+cached across solver calls with matching shapes (driver.py contract).
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -21,9 +28,53 @@ _LS_MAX = 200  # safety bound; backtracking terminates long before this
 
 
 def _tree_where(pred, a, b):
-    import jax
-
     return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
+
+
+# ---------------------------------------------------------------------------
+# BPG
+# ---------------------------------------------------------------------------
+
+
+class _BPGCfg(NamedTuple):
+    linesearch: bool
+
+
+def _bpg_step(cfg, prob, c, k):
+    f, h = prob["f"], prob["h"]
+    x, Lk = c["x"], c["L"]
+    fx, g = f.value_and_grad(x)
+    Fk = fx + h.extra_psi(x)
+    stop = (k > 0) & (jnp.abs(Fk - c["F_prev"]) < prob["eps"])
+
+    if cfg.linesearch:
+        ls_ratio = prob["ls_ratio"]
+
+        def trial(Lt):
+            x1 = h.div_prox_map(x, g, Lt)
+            # NaN-robust acceptance: ~(lhs <= rhs) so a trial that leaves
+            # the kernel domain (NaN) counts as a failure and L backs off
+            # (the reference would assert-crash there, functions.py:243).
+            fail = ~(f.value(x1) <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
+            return x1, fail
+
+        L1 = Lk / ls_ratio
+        x1, fail = trial(L1)
+
+        def cond(s):
+            return s[2] & (s[3] < _LS_MAX)
+
+        def body(s):
+            Lt = s[0] * ls_ratio
+            x1t, failt = trial(Lt)
+            return (Lt, x1t, failt, s[3] + 1)
+
+        Lk, x_new, _, _ = lax.while_loop(cond, body, (L1, x1, fail, 0))
+    else:
+        x_new = h.div_prox_map(x, g, Lk)
+
+    c2 = dict(done=c["done"], x=x_new, L=Lk, F_prev=Fk)
+    return c2, dict(F=Fk, Ls=Lk, _stop=stop)
 
 
 def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
@@ -37,41 +88,8 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
-    eps = jnp.asarray(epsilon, dt)
-
-    def step(c, k):
-        x, Lk = c["x"], c["L"]
-        fx, g = f.value_and_grad(x)
-        Fk = fx + h.extra_psi(x)
-        stop = (k > 0) & (jnp.abs(Fk - c["F_prev"]) < eps)
-
-        if linesearch:
-            def trial(Lt):
-                x1 = h.div_prox_map(x, g, Lt)
-                # NaN-robust acceptance: ~(lhs <= rhs) so a trial that leaves
-                # the kernel domain (NaN) counts as a failure and L backs off
-                # (the reference would assert-crash there, functions.py:243).
-                fail = ~(f.value(x1) <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
-                return x1, fail
-
-            L1 = Lk / ls_ratio
-            x1, fail = trial(L1)
-
-            def cond(s):
-                return s[2] & (s[3] < _LS_MAX)
-
-            def body(s):
-                Lt = s[0] * ls_ratio
-                x1t, failt = trial(Lt)
-                return (Lt, x1t, failt, s[3] + 1)
-
-            Lk, x_new, _, _ = lax.while_loop(cond, body, (L1, x1, fail, 0))
-        else:
-            x_new = h.div_prox_map(x, g, Lk)
-
-        c2 = dict(done=c["done"], x=x_new, L=Lk, F_prev=Fk)
-        return c2, dict(F=Fk, Ls=Lk, _stop=stop)
-
+    prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, dt),
+                ls_ratio=jnp.asarray(ls_ratio, dt))
     carry = dict(done=jnp.asarray(False), x=x0, L=jnp.asarray(L, dt),
                  F_prev=jnp.asarray(jnp.inf, dt))
     header = ("\nBPG_LS method for min_{x in C} F(x) = f(x) + Psi(x)\n"
@@ -80,11 +98,69 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
     def row(k, r, t):
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(k, r["F"], r["Ls"], t))
 
-    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
+    carry, hist, T = run_driver(_bpg_step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
-                                checkpoint=checkpoint)
+                                checkpoint=checkpoint, problem=prob,
+                                cfg=_BPGCfg(linesearch=bool(linesearch)))
     return carry["x"], hist["F"], hist["Ls"], T
+
+
+# ---------------------------------------------------------------------------
+# ABPG
+# ---------------------------------------------------------------------------
+
+
+class _ABPGCfg(NamedTuple):
+    theta_eq: bool
+    restart: bool
+    restart_rule: str
+
+
+def _abpg_theta(cfg, prob, c):
+    dt = c["x"].dtype
+    kk, gam = c["kk"], prob["gamma"]
+    if cfg.theta_eq:
+        return jnp.where(kk > 0, solve_theta(c["theta"], gam),
+                         jnp.asarray(1.0, dt))
+    return gam / (kk.astype(dt) + gam)
+
+
+def _abpg_restart(cfg, c, k, Fk, g, x_new, z_new, theta, kk):
+    dt = x_new.dtype
+    if not cfg.restart:
+        return theta, kk, z_new
+    if cfg.restart_rule == 'f':
+        trig = (k > 0) & (Fk > c["F_prev"])
+    else:
+        trig = (k > 0) & (jnp.vdot(g, x_new - c["x"]) > 0)
+    theta = jnp.where(trig, jnp.asarray(1.0, dt), theta)
+    kk = jnp.where(trig, 0, kk)
+    z_new = _tree_where(trig, x_new, z_new)
+    return theta, kk, z_new
+
+
+def _abpg_step(cfg, prob, c, k):
+    f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
+    x, z, kk = c["x"], c["z"], c["kk"]
+    fx = f.value(x)
+    Fk = fx + h.extra_psi(x)
+
+    theta = _abpg_theta(cfg, prob, c)
+    y = (1.0 - theta) * x + theta * z
+    g = f.grad(y)
+    z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
+    x_new = (1.0 - theta) * x + theta * z_new
+
+    dxy = h.divergence(x_new, y)
+    dzz = h.divergence(z_new, z)
+    Gdr = dxy / dzz / theta**gam
+
+    theta_c, kk, z_new = _abpg_restart(cfg, c, k, Fk, g, x_new, z_new,
+                                       theta, kk + 1)
+    stop = dzz < prob["eps"]
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk, F_prev=Fk)
+    return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
 def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
@@ -98,43 +174,8 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
-    eps = jnp.asarray(epsilon, dt)
-    gam = jnp.asarray(gamma, dt)
-
-    def step(c, k):
-        x, z, kk = c["x"], c["z"], c["kk"]
-        fx = f.value(x)
-        Fk = fx + h.extra_psi(x)
-
-        if theta_eq:
-            theta = jnp.where(kk > 0, solve_theta(c["theta"], gam), jnp.asarray(1.0, dt))
-        else:
-            theta = gam / (kk.astype(dt) + gam)
-
-        y = (1.0 - theta) * x + theta * z
-        g = f.grad(y)
-        z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
-        x_new = (1.0 - theta) * x + theta * z_new
-
-        dxy = h.divergence(x_new, y)
-        dzz = h.divergence(z_new, z)
-        Gdr = dxy / dzz / theta**gam
-
-        kk = kk + 1
-        theta_c = theta
-        if restart:
-            if restart_rule == 'f':
-                trig = (k > 0) & (Fk > c["F_prev"])
-            else:
-                trig = (k > 0) & (jnp.vdot(g, x_new - x) > 0)
-            theta_c = jnp.where(trig, jnp.asarray(1.0, dt), theta)
-            kk = jnp.where(trig, 0, kk)
-            z_new = _tree_where(trig, x_new, z_new)
-
-        stop = dzz < eps
-        c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk, F_prev=Fk)
-        return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
-
+    prob = dict(f=f, h=h, L=jnp.asarray(L, dt),
+                gamma=jnp.asarray(gamma, dt), eps=jnp.asarray(epsilon, dt))
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  F_prev=jnp.asarray(jnp.inf, dt))
@@ -145,76 +186,95 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
             k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
 
-    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
+    cfg = _ABPGCfg(theta_eq=bool(theta_eq), restart=bool(restart),
+                   restart_rule=str(restart_rule))
+    carry, hist, T = run_driver(_abpg_step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
-                                checkpoint=checkpoint)
+                                checkpoint=checkpoint, problem=prob, cfg=cfg)
     return carry["x"], hist["F"], hist["G"], T
+
+
+# ---------------------------------------------------------------------------
+# ABPG_expo
+# ---------------------------------------------------------------------------
+
+
+class _ABPGExpoCfg(NamedTuple):
+    theta_eq: bool
+    checkdiv: bool
+    restart: bool
+    restart_rule: str
+
+
+def _abpg_expo_step(cfg, prob, c, k):
+    f, h, L = prob["f"], prob["h"], prob["L"]
+    delta, Gmargin = prob["delta"], prob["Gmargin"]
+    x, z, kk, gamma = c["x"], c["z"], c["kk"], c["gamma"]
+    dt = x.dtype
+    one = jnp.asarray(1.0, dt)
+    fx = f.value(x)
+    Fk = fx + h.extra_psi(x)
+
+    if cfg.theta_eq:
+        theta = jnp.where(kk > 0, solve_theta(c["theta"], gamma), one)
+    else:
+        theta = gamma / (kk.astype(dt) + gamma)
+
+    y = (1.0 - theta) * x + theta * z
+    fy, g = f.value_and_grad(y)
+
+    def attempt(gm):
+        z_new = h.div_prox_map(z, g, theta ** (gm - 1.0) * L)
+        x_new = (1.0 - theta) * x + theta * z_new
+        dxy = h.divergence(x_new, y)
+        dzz = h.divergence(z_new, z)
+        Gdr = dxy / dzz / theta**gm
+        if cfg.checkdiv:
+            fail = ~(dxy <= Gmargin * theta**gm * dzz)
+        else:
+            fail = ~(f.value(x_new) <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
+        return dict(gamma=gm, z=z_new, x=x_new, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
+
+    s = attempt(gamma)
+    s = lax.while_loop(
+        lambda s: s["fail"] & (s["gamma"] > 1.0),
+        lambda s: attempt(jnp.maximum(s["gamma"] - delta, one)),
+        s,
+    )
+    gamma, z_new, x_new = s["gamma"], s["z"], s["x"]
+    dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        if cfg.restart_rule == 'f':
+            trig = Fk > c["F_prev"]
+        else:
+            trig = jnp.vdot(g, x_new - x) > 0
+        theta_c = jnp.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = _tree_where(trig, x_new, z_new)
+
+    stop = dzz < prob["eps"]
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
+              gamma=gamma, F_prev=Fk)
+    return c2, dict(F=Fk, Gamma=gamma, G=Gdr, theta=theta, dxy=dxy,
+                    dzz=dzz, _stop=stop)
 
 
 def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
               theta_eq=True, checkdiv=False, Gmargin=10, restart=False,
-              restart_rule='g', verbose=True, verbskip=1, chunk=None, checkpoint=None):
+              restart_rule='g', verbose=True, verbskip=1, chunk=None,
+              checkpoint=None):
     """ABPG with exponent adaption: start gamma0 > 2, decrease gamma by
     ``delta`` (floor 1) while the TSE inequality / descent condition fails
     (reference: algorithms.py:183-292).  Returns ``(x, F, Gamma, G, T)``.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
-    eps = jnp.asarray(epsilon, dt)
-    one = jnp.asarray(1.0, dt)
-
-    def step(c, k):
-        x, z, kk, gamma = c["x"], c["z"], c["kk"], c["gamma"]
-        fx = f.value(x)
-        Fk = fx + h.extra_psi(x)
-
-        if theta_eq:
-            theta = jnp.where(kk > 0, solve_theta(c["theta"], gamma), one)
-        else:
-            theta = gamma / (kk.astype(dt) + gamma)
-
-        y = (1.0 - theta) * x + theta * z
-        fy, g = f.value_and_grad(y)
-
-        def attempt(gm):
-            z_new = h.div_prox_map(z, g, theta ** (gm - 1.0) * L)
-            x_new = (1.0 - theta) * x + theta * z_new
-            dxy = h.divergence(x_new, y)
-            dzz = h.divergence(z_new, z)
-            Gdr = dxy / dzz / theta**gm
-            if checkdiv:
-                fail = ~(dxy <= Gmargin * theta**gm * dzz)
-            else:
-                fail = ~(f.value(x_new) <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
-            return dict(gamma=gm, z=z_new, x=x_new, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
-
-        s = attempt(gamma)
-        s = lax.while_loop(
-            lambda s: s["fail"] & (s["gamma"] > 1.0),
-            lambda s: attempt(jnp.maximum(s["gamma"] - delta, one)),
-            s,
-        )
-        gamma, z_new, x_new = s["gamma"], s["z"], s["x"]
-        dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
-
-        kk = kk + 1
-        theta_c = theta
-        if restart:
-            if restart_rule == 'f':
-                trig = Fk > c["F_prev"]
-            else:
-                trig = jnp.vdot(g, x_new - x) > 0
-            theta_c = jnp.where(trig, one, theta)
-            kk = jnp.where(trig, 0, kk)
-            z_new = _tree_where(trig, x_new, z_new)
-
-        stop = dzz < eps
-        c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
-                  gamma=gamma, F_prev=Fk)
-        return c2, dict(F=Fk, Gamma=gamma, G=Gdr, theta=theta, dxy=dxy,
-                        dzz=dzz, _stop=stop)
-
+    prob = dict(f=f, h=h, L=jnp.asarray(L, dt), eps=jnp.asarray(epsilon, dt),
+                delta=jnp.asarray(delta, dt), Gmargin=jnp.asarray(Gmargin, dt))
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  gamma=jnp.asarray(gamma0, dt), F_prev=jnp.asarray(jnp.inf, dt))
@@ -225,11 +285,92 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:10.3e}  {7:6.1f}".format(
             k, r["F"], r["theta"], r["Gamma"], r["G"], r["dxy"], r["dzz"], t))
 
-    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
-                                verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk,
-                                checkpoint=checkpoint)
+    cfg = _ABPGExpoCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
+                       restart=bool(restart), restart_rule=str(restart_rule))
+    carry, hist, T = run_driver(_abpg_expo_step, carry, maxitrs,
+                                verbose=verbose, verbskip=verbskip,
+                                header=header, print_row=row, chunk=chunk,
+                                checkpoint=checkpoint, problem=prob, cfg=cfg)
     return carry["x"], hist["F"], hist["Gamma"], hist["G"], T
+
+
+# ---------------------------------------------------------------------------
+# ABPG_gain
+# ---------------------------------------------------------------------------
+
+
+class _ABPGGainCfg(NamedTuple):
+    theta_eq: bool
+    checkdiv: bool
+    restart: bool
+    restart_rule: str
+
+
+def _abpg_gain_step(cfg, prob, c, k):
+    f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
+    ls_inc, ls_dec, eps = prob["ls_inc"], prob["ls_dec"], prob["eps"]
+    x, z, kk = c["x"], c["z"], c["kk"]
+    G_1, theta_1 = c["G"], c["theta"]
+    dt = x.dtype
+    one = jnp.asarray(1.0, dt)
+    fx = f.value(x)
+    Fk = fx + h.extra_psi(x)
+
+    def attempt(G, t):
+        if cfg.theta_eq:
+            theta = jnp.where(kk > 0, solve_theta(theta_1, gam, G / G_1), theta_1)
+        else:
+            alpha = G / G_1
+            theta = jnp.where(
+                kk > 0,
+                theta_1 * ((1.0 + alpha * (gam - 1.0)) / (gam * alpha + theta_1)),
+                theta_1,
+            )
+        y = (1.0 - theta) * x + theta * z
+        fy, g = f.value_and_grad(y)
+        z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
+        x_new = (1.0 - theta) * x + theta * z_new
+        dxy = h.divergence(x_new, y)
+        dzz = h.divergence(z_new, z)
+        early = dzz < eps
+        Gdr = dxy / dzz / theta**gam
+        if cfg.checkdiv:
+            fail = ~(Gdr <= G)
+        else:
+            fail = ~(f.value(x_new) <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
+        fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
+        return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, dxy=dxy,
+                    dzz=dzz, Gdr=Gdr, fail=fail, t=t)
+
+    s = attempt(G_1 / ls_dec, 0)
+    s = lax.while_loop(
+        lambda s: s["fail"],
+        lambda s: attempt(s["G"] * ls_inc, s["t"] + 1),
+        s,
+    )
+    G, theta, g = s["G"], s["theta"], s["g"]
+    z_new, x_new = s["z"], s["x"]
+    dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+
+    sumlogG = c["sumlogG"] + jnp.log(G)
+    Gavg = jnp.exp(sumlogG / (gam + k.astype(dt)))
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        if cfg.restart_rule == 'f':
+            trig = Fk > c["F_prev"]
+        else:
+            trig = jnp.vdot(g, x_new - x) > 0
+        theta_c = jnp.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = _tree_where(trig, x_new, z_new)
+
+    stop = dzz < eps
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
+              G=G, sumlogG=sumlogG, F_prev=Fk)
+    return c2, dict(F=Fk, Gain=G, Gdiv=Gdr, Gavg=Gavg, theta=theta,
+                    dxy=dxy, dzz=dzz, _stop=stop)
 
 
 def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
@@ -244,73 +385,11 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
-    eps = jnp.asarray(epsilon, dt)
     gam = jnp.asarray(gamma, dt)
-    one = jnp.asarray(1.0, dt)
-
-    def step(c, k):
-        x, z, kk = c["x"], c["z"], c["kk"]
-        G_1, theta_1 = c["G"], c["theta"]
-        fx = f.value(x)
-        Fk = fx + h.extra_psi(x)
-
-        def attempt(G, t):
-            if theta_eq:
-                theta = jnp.where(kk > 0, solve_theta(theta_1, gam, G / G_1), theta_1)
-            else:
-                alpha = G / G_1
-                theta = jnp.where(
-                    kk > 0,
-                    theta_1 * ((1.0 + alpha * (gam - 1.0)) / (gam * alpha + theta_1)),
-                    theta_1,
-                )
-            y = (1.0 - theta) * x + theta * z
-            fy, g = f.value_and_grad(y)
-            z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
-            x_new = (1.0 - theta) * x + theta * z_new
-            dxy = h.divergence(x_new, y)
-            dzz = h.divergence(z_new, z)
-            early = dzz < eps
-            Gdr = dxy / dzz / theta**gam
-            if checkdiv:
-                fail = ~(Gdr <= G)
-            else:
-                fail = ~(f.value(x_new) <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
-            fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
-            return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, dxy=dxy,
-                        dzz=dzz, Gdr=Gdr, fail=fail, t=t)
-
-        s = attempt(G_1 / ls_dec, 0)
-        s = lax.while_loop(
-            lambda s: s["fail"],
-            lambda s: attempt(s["G"] * ls_inc, s["t"] + 1),
-            s,
-        )
-        G, theta, g = s["G"], s["theta"], s["g"]
-        z_new, x_new = s["z"], s["x"]
-        dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
-
-        sumlogG = c["sumlogG"] + jnp.log(G)
-        Gavg = jnp.exp(sumlogG / (gam + k.astype(dt)))
-
-        kk = kk + 1
-        theta_c = theta
-        if restart:
-            if restart_rule == 'f':
-                trig = Fk > c["F_prev"]
-            else:
-                trig = jnp.vdot(g, x_new - x) > 0
-            theta_c = jnp.where(trig, one, theta)
-            kk = jnp.where(trig, 0, kk)
-            z_new = _tree_where(trig, x_new, z_new)
-
-        stop = dzz < eps
-        c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
-                  G=G, sumlogG=sumlogG, F_prev=Fk)
-        return c2, dict(F=Fk, Gain=G, Gdiv=Gdr, Gavg=Gavg, theta=theta,
-                        dxy=dxy, dzz=dzz, _stop=stop)
-
     G0a = jnp.asarray(G0, dt)
+    prob = dict(f=f, h=h, L=jnp.asarray(L, dt), gamma=gam,
+                eps=jnp.asarray(epsilon, dt), ls_inc=jnp.asarray(ls_inc, dt),
+                ls_dec=jnp.asarray(ls_dec, dt))
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  G=G0a, sumlogG=gam * jnp.log(G0a),
@@ -322,11 +401,53 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:10.3e}  {7:10.3e}  {8:6.1f}".format(
             k, r["F"], r["theta"], r["Gain"], r["Gdiv"], r["dxy"], r["dzz"], r["Gavg"], t))
 
-    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
-                                verbskip=verbskip, header=header,
-                                print_row=row, chunk=chunk,
-                                checkpoint=checkpoint)
+    cfg = _ABPGGainCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
+                       restart=bool(restart), restart_rule=str(restart_rule))
+    carry, hist, T = run_driver(_abpg_gain_step, carry, maxitrs,
+                                verbose=verbose, verbskip=verbskip,
+                                header=header, print_row=row, chunk=chunk,
+                                checkpoint=checkpoint, problem=prob, cfg=cfg)
     return carry["x"], hist["F"], hist["Gain"], hist["Gdiv"], hist["Gavg"], T
+
+
+# ---------------------------------------------------------------------------
+# ABDA
+# ---------------------------------------------------------------------------
+
+
+class _ABDACfg(NamedTuple):
+    theta_eq: bool
+
+
+def _abda_step(cfg, prob, c, k):
+    f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
+    x, z, kk = c["x"], c["z"], c["kk"]
+    dt = x.dtype
+    fx = f.value(x)
+    Fk = fx + h.extra_psi(x)
+
+    if cfg.theta_eq:
+        theta = jnp.where(kk > 0, solve_theta(c["theta"], gam),
+                          jnp.asarray(1.0, dt))
+    else:
+        theta = gam / (kk.astype(dt) + gam)
+
+    y = (1.0 - theta) * x + theta * z
+    g = f.grad(y)
+    w = theta ** (1.0 - gam)
+    gavg = c["gavg"] + w * g
+    csum = c["csum"] + w
+    z_new = h.prox_map(gavg / csum, L / csum)
+    x_new = (1.0 - theta) * x + theta * z_new
+
+    dxy = h.divergence(x_new, y)
+    dzz = h.divergence(z_new, z)
+    Gdr = dxy / dzz / theta**gam
+    stop = dzz < prob["eps"]
+
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta, kk=kk + 1,
+              gavg=gavg, csum=csum, F_prev=Fk)
+    return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
 def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
@@ -338,36 +459,8 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
-    eps = jnp.asarray(epsilon, dt)
-    gam = jnp.asarray(gamma, dt)
-
-    def step(c, k):
-        x, z, kk = c["x"], c["z"], c["kk"]
-        fx = f.value(x)
-        Fk = fx + h.extra_psi(x)
-
-        if theta_eq:
-            theta = jnp.where(kk > 0, solve_theta(c["theta"], gam), jnp.asarray(1.0, dt))
-        else:
-            theta = gam / (kk.astype(dt) + gam)
-
-        y = (1.0 - theta) * x + theta * z
-        g = f.grad(y)
-        w = theta ** (1.0 - gam)
-        gavg = c["gavg"] + w * g
-        csum = c["csum"] + w
-        z_new = h.prox_map(gavg / csum, L / csum)
-        x_new = (1.0 - theta) * x + theta * z_new
-
-        dxy = h.divergence(x_new, y)
-        dzz = h.divergence(z_new, z)
-        Gdr = dxy / dzz / theta**gam
-        stop = dzz < eps
-
-        c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta, kk=kk + 1,
-                  gavg=gavg, csum=csum, F_prev=Fk)
-        return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
-
+    prob = dict(f=f, h=h, L=jnp.asarray(L, dt),
+                gamma=jnp.asarray(gamma, dt), eps=jnp.asarray(epsilon, dt))
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  gavg=jnp.zeros_like(x0), csum=jnp.asarray(0.0, dt),
@@ -379,8 +472,9 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
             k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
 
-    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
+    carry, hist, T = run_driver(_abda_step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
-                                checkpoint=checkpoint)
+                                checkpoint=checkpoint, problem=prob,
+                                cfg=_ABDACfg(theta_eq=bool(theta_eq)))
     return carry["x"], hist["F"], hist["G"], T

@@ -61,49 +61,50 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
 
 
-def _make_dopt_step(V, eps, *, away, u_mode="auto"):
-    """``u_mode`` selects how the O(mn) rank-1 w-update contraction
-    u = (H v)^T V is computed:
+class _DOptCfg:
+    """Hashable static config for the cached D-opt step."""
 
-    * "exact": native dtype dot (bit-matches the reference trajectory on
-      CPU; ~25x slower than f32 on TPU for f64 inputs, which have no
-      hardware matmul path);
-    * "mixed": Ozaki-style int8 digit contraction with exact int32
-      accumulation (ops/mixed_precision.py) — ~3e-12 relative error at
-      ~1/9 the TPU-f64 cost;
-    * "auto": "mixed" exactly when running f64 on a TPU backend.
-    """
-    m, n = V.shape
-    dt = V.dtype
-    m_f = jnp.asarray(float(m), dt)
-    eps = jnp.asarray(eps, dt)
+    __slots__ = ("away", "mixed")
 
-    if u_mode == "auto":
-        u_mode = ("mixed" if dt == jnp.float64
-                  and jax.default_backend() == "tpu" else "exact")
-    if u_mode == "mixed":
-        from ..ops.mixed_precision import digit_split_matrix, ozaki_gemv
+    def __init__(self, away, mixed):
+        self.away = bool(away)
+        self.mixed = bool(mixed)
 
-        V_digits, sV = digit_split_matrix(V, levels=7)
+    def __hash__(self):
+        return hash((self.away, self.mixed))
+
+    def __eq__(self, other):
+        return (isinstance(other, _DOptCfg) and self.away == other.away
+                and self.mixed == other.mixed)
+
+
+def _dopt_u(cfg, prob, hv):
+    if cfg.mixed:
+        from ..ops.mixed_precision import ozaki_gemv
 
         # Per-pair dot_generals (not ozaki_gemv_packed): the 21 independent
         # small contractions overlap with the VPU-side H update in the same
         # step, which measures ~25% faster end-to-end than the single big
         # packed matmul despite the packed form's lower isolated cost.
-        def u_of(hv):
-            return ozaki_gemv(hv, V_digits, sV, levels_a=7, max_diag=6).astype(dt)
-    else:
-        def u_of(hv):
-            return hv @ V
+        return ozaki_gemv(hv, prob["V_digits"], prob["sV"], levels_a=7,
+                          max_diag=6).astype(prob["V"].dtype)
+    return hv @ prob["V"]
+
+
+def _dopt_step(cfg, prob, c, k):
+    V, eps = prob["V"], prob["eps"]
+    m, n = V.shape
+    dt = V.dtype
+    m_f = jnp.asarray(float(m), dt)
 
     def toward_update(state, i, wi):
         x, w, H, logdet = state
         t = (wi / m_f - 1.0) / (wi - 1.0)
         Vi = lax.dynamic_index_in_dim(V, i, axis=1, keepdims=False)
         HVi = H @ Vi
-        c = t / (1.0 - t + t * wi)  # == t / (1 + t*(wi-1))
-        H_new = (H - c * jnp.outer(HVi, HVi)) / (1.0 - t)
-        u = u_of(HVi)
+        c_ = t / (1.0 - t + t * wi)  # == t / (1 + t*(wi-1))
+        H_new = (H - c_ * jnp.outer(HVi, HVi)) / (1.0 - t)
+        u = _dopt_u(cfg, prob, HVi)
         # Force u_i == w_i: the exact line search sets the new w_i to exactly
         # m only when the recomputed v_i^T H v_i agrees with the incrementally
         # tracked w_i.  At float64 CPU precision they agree to ~1e-15 (no-op);
@@ -111,7 +112,7 @@ def _make_dopt_step(V, eps, *, away, u_mode="auto"):
         # slack of order m*delta that sustains a permanent ~1e-6 limit cycle
         # (observed: SN frozen at 2.7e-6 for 40k iterations at m=1000).
         u = u.at[i].set(wi)
-        w_new = (w - c * u * u) / (1.0 - t)
+        w_new = (w - c_ * u * u) / (1.0 - t)
         x_new = (x * (1.0 - t)).at[i].add(t)
         logdet_new = logdet + (m_f - 1.0) * jnp.log1p(-t) + jnp.log1p(t * (wi - 1.0))
         return (x_new, w_new, H_new, logdet_new)
@@ -122,48 +123,83 @@ def _make_dopt_step(V, eps, *, away, u_mode="auto"):
         t = jnp.minimum((1.0 - wj / m_f) / (wj - 1.0), xj / (1.0 - xj))
         Vj = lax.dynamic_index_in_dim(V, j, axis=1, keepdims=False)
         HVj = H @ Vj
-        c = t / (1.0 + t - t * wj)
-        H_new = (H + c * jnp.outer(HVj, HVj)) / (1.0 + t)
-        u = u_of(HVj)
+        c_ = t / (1.0 + t - t * wj)
+        H_new = (H + c_ * jnp.outer(HVj, HVj)) / (1.0 + t)
+        u = _dopt_u(cfg, prob, HVj)
         u = u.at[j].set(wj)  # consistency pin; see toward_update
-        w_new = (w + c * u * u) / (1.0 + t)
+        w_new = (w + c_ * u * u) / (1.0 + t)
         x_new = (x * (1.0 + t)).at[j].add(-t)
         logdet_new = logdet + (m_f - 1.0) * jnp.log1p(t) + jnp.log1p(t - t * wj)
         return (x_new, w_new, H_new, logdet_new)
 
+    x, w, H, logdet = c["x"], c["w"], c["H"], c["logdet"]
+    Fk = -logdet
+    i = jnp.argmax(w)
+    wi = w[i]
+
+    if cfg.away:
+        ww = w - wi  # shift so max is 0; masked entries dominate at 0
+        j = jnp.argmin(ww * (x > 1.0e-8))
+        wj = w[j]
+        eps_neg = 1.0 - wj / m_f
+    else:
+        wmin = jnp.min(jnp.where(x > 0, w, jnp.inf))
+        eps_neg = 1.0 - wmin / m_f
+
+    eps_pos = wi / m_f - 1.0
+    stop = (eps_pos <= eps) & (eps_neg <= eps)
+
+    state = (x, w, H, logdet)
+    if cfg.away:
+        new_state = lax.cond(
+            eps_pos >= eps_neg,
+            lambda s: toward_update(s, i, wi),
+            lambda s: away_update(s, j, wj),
+            state,
+        )
+    else:
+        new_state = toward_update(state, i, wi)
+
+    # the reference breaks BEFORE applying the update (D_opt_alg.py:72-73)
+    x_n, w_n, H_n, logdet_n = _tree_where(stop, state, new_state)
+    c2 = dict(done=c["done"], x=x_n, w=w_n, H=H_n, logdet=logdet_n)
+    return c2, dict(F=Fk, SP=eps_pos, SN=eps_neg, _stop=stop)
+
+
+def _dopt_problem(V, eps, u_mode):
+    """Resolve u_mode and build the traced problem pytree + static cfg."""
+    dt = V.dtype
+    if u_mode == "auto":
+        u_mode = ("mixed" if dt == jnp.float64
+                  and jax.default_backend() == "tpu" else "exact")
+    prob = dict(V=V, eps=jnp.asarray(eps, dt))
+    if u_mode == "mixed":
+        from ..ops.mixed_precision import digit_split_matrix
+
+        V_digits, sV = digit_split_matrix(V, levels=7)
+        prob["V_digits"] = V_digits
+        prob["sV"] = sV
+    return prob, _DOptCfg(away=False, mixed=(u_mode == "mixed"))
+
+
+def _make_dopt_step(V, eps, *, away, u_mode="auto"):
+    """Closure-style step (compat for batched/scaling/dry-run callers):
+    ``u_mode`` selects how the O(mn) rank-1 w-update contraction
+    u = (H v)^T V is computed:
+
+    * "exact": native dtype dot (bit-matches the reference trajectory on
+      CPU; ~25x slower than f32 on TPU for f64 inputs, which have no
+      hardware matmul path);
+    * "mixed": Ozaki-style int8 digit contraction with exact int32
+      accumulation (ops/mixed_precision.py) — ~3e-12 relative error at
+      ~1/9 the TPU-f64 cost;
+    * "auto": "mixed" exactly when running f64 on a TPU backend.
+    """
+    prob, cfg = _dopt_problem(V, eps, u_mode)
+    cfg = _DOptCfg(away=away, mixed=cfg.mixed)
+
     def step(c, k):
-        x, w, H, logdet = c["x"], c["w"], c["H"], c["logdet"]
-        Fk = -logdet
-        i = jnp.argmax(w)
-        wi = w[i]
-
-        if away:
-            ww = w - wi  # shift so max is 0; masked entries dominate at 0
-            j = jnp.argmin(ww * (x > 1.0e-8))
-            wj = w[j]
-            eps_neg = 1.0 - wj / m_f
-        else:
-            wmin = jnp.min(jnp.where(x > 0, w, jnp.inf))
-            eps_neg = 1.0 - wmin / m_f
-
-        eps_pos = wi / m_f - 1.0
-        stop = (eps_pos <= eps) & (eps_neg <= eps)
-
-        state = (x, w, H, logdet)
-        if away:
-            new_state = lax.cond(
-                eps_pos >= eps_neg,
-                lambda s: toward_update(s, i, wi),
-                lambda s: away_update(s, j, wj),
-                state,
-            )
-        else:
-            new_state = toward_update(state, i, wi)
-
-        # the reference breaks BEFORE applying the update (D_opt_alg.py:72-73)
-        x_n, w_n, H_n, logdet_n = _tree_where(stop, state, new_state)
-        c2 = dict(done=c["done"], x=x_n, w=w_n, H=H_n, logdet=logdet_n)
-        return c2, dict(F=Fk, SP=eps_pos, SN=eps_neg, _stop=stop)
+        return _dopt_step(cfg, prob, c, k)
 
     return step
 
@@ -173,7 +209,8 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
     V = jnp.asarray(V)
     x0 = jnp.asarray(x0, V.dtype)
     H, w, logdet = _dopt_factorize(V, x0)
-    step = _make_dopt_step(V, eps, away=away, u_mode=u_mode)
+    prob, cfg = _dopt_problem(V, eps, u_mode)
+    cfg = _DOptCfg(away=away, mixed=cfg.mixed)
     carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
 
     between = None
@@ -199,10 +236,10 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:6.1f}".format(
             k, r["F"], r["SP"], r["SN"], t))
 
-    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
+    carry, hist, T = run_driver(_dopt_step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk, checkpoint=checkpoint,
-                                between_chunks=between)
+                                between_chunks=between, problem=prob, cfg=cfg)
     return carry["x"], hist["F"], hist["SP"], hist["SN"], T
 
 

@@ -16,11 +16,19 @@ is compiled once and executed on device as ``lax.scan`` chunks:
 * the verbose progress tables are re-printed from device history at chunk
   boundaries with the reference's formats.
 
-Contract for step functions:
+Contract for step functions (cached form):
+  ``step(cfg, problem, carry, k) -> (carry, hist)`` where ``step`` is a
+  MODULE-LEVEL function, ``cfg`` is hashable static config, ``problem`` is a
+  traced pytree (oracles + scalars) and
   carry: a dict pytree that must contain ``done`` (bool scalar);
   hist:  a dict of scalar arrays; must contain ``_stop`` (bool: the stopping
          criterion fired at this iteration; this iteration is the last one
          recorded, matching the reference's ``break`` placement).
+
+Because the problem is a traced ARGUMENT (not a closure constant), compiled
+chunk executables are cached per (step, cfg, chunk, avals+shardings) and
+REUSED across solver calls with the same shapes — repeat solves, sweeps and
+line-search studies pay the (remote) compile exactly once per process.
 """
 
 from __future__ import annotations
@@ -32,6 +40,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+_EXEC_CACHE: dict = {}
+
+
+def _aval_key(tree):
+    return tuple(
+        (leaf.shape, str(leaf.dtype), getattr(leaf, "sharding", None))
+        for leaf in jax.tree_util.tree_leaves(tree)
+    ) + (jax.tree_util.tree_structure(tree),)
+
+
+def _get_compiled_chunk(step, cfg, chunk, problem, carry):
+    """Compiled scan-chunk executable, cached across driver invocations."""
+    key = (step, cfg, chunk, _aval_key(problem), _aval_key(carry))
+    if key not in _EXEC_CACHE:
+        def run(problem, carry, k0, maxitrs):
+            def body(c, k):
+                # freeze past the stop flag OR past the iteration budget; only
+                # the true stop criterion persists into the carry (a budget
+                # freeze must not poison checkpoints resumed with more budget)
+                frozen = c["done"] | (k >= maxitrs)
+                c2, h = step(cfg, problem, c, k)
+                h = dict(h)
+                h["_valid"] = jnp.logical_not(frozen)
+                c2 = dict(c2)
+                c2["done"] = c["done"] | c2["done"] | h["_stop"]
+                out = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(frozen, old, new), c, c2
+                )
+                return out, h
+
+            ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+            return lax.scan(body, carry, ks)
+
+        _EXEC_CACHE[key] = (
+            jax.jit(run)
+            .lower(problem, carry, jnp.int32(0), jnp.int32(1))
+            .compile()
+        )
+    return _EXEC_CACHE[key]
 
 
 def _wrap_step(step):
@@ -114,8 +162,17 @@ def run_driver(
     include_compile_time: bool = False,
     between_chunks: Optional[Callable] = None,
     checkpoint: Optional[str] = None,
+    problem=None,
+    cfg=None,
 ):
     """Run ``step`` for up to ``maxitrs`` iterations in compiled scan chunks.
+
+    Two step forms are supported:
+    * cached (preferred): ``problem`` is a traced pytree and ``step`` a
+      module-level ``step(cfg, problem, carry, k)`` — the compiled chunk is
+      cached across solver calls with matching shapes/shardings;
+    * legacy closure: ``problem is None`` and ``step(carry, k)`` closes over
+      its data — compiled fresh per invocation.
 
     ``between_chunks(carry, k_next) -> carry``, if given, runs on host
     between chunks (e.g. periodic state refactorization) — it must preserve
@@ -135,17 +192,28 @@ def run_driver(
     if maxitrs <= 0:
         raise ValueError("maxitrs must be positive")
     if chunk is None:
-        chunk = int(min(maxitrs, max(verbskip, 256)))
-    chunk = max(1, min(chunk, maxitrs))
+        # fixed default (not min(maxitrs, .)) so different maxitrs with the
+        # same shapes share one cached executable; iterations past maxitrs
+        # are masked done inside the chunk
+        chunk = int(max(verbskip, 256)) if problem is not None else int(
+            min(maxitrs, max(verbskip, 256)))
+    chunk = max(1, chunk if problem is not None else min(chunk, maxitrs))
 
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
-    wrapped = _wrap_step(step)
+    if problem is not None:
+        problem = jax.tree_util.tree_map(jnp.asarray, problem)
+        exe = _get_compiled_chunk(step, cfg, chunk, problem, carry)
 
-    def run_chunk(c, k0):
-        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
-        return lax.scan(wrapped, c, ks)
+        def compiled(c, k0):
+            return exe(problem, c, k0, jnp.int32(maxitrs))
+    else:
+        wrapped = _wrap_step(step)
 
-    compiled = jax.jit(run_chunk).lower(carry, jnp.int32(0)).compile()
+        def run_chunk(c, k0):
+            ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+            return lax.scan(wrapped, c, ks)
+
+        compiled = jax.jit(run_chunk).lower(carry, jnp.int32(0)).compile()
 
     nchunks = -(-maxitrs // chunk)
     if verbose and header:

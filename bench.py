@@ -48,7 +48,7 @@ def main():
     # variance; the faster run reflects the hardware, the slower reflects
     # interference (the reference baseline was likewise an unloaded run)
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         x, F, SP, SN, T = acc.D_opt_FW_away(V, x0, eps=base["config"]["eps"],
                                             maxitrs=iters, verbose=False,
                                             chunk=2500)

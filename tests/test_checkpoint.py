@@ -57,3 +57,20 @@ def test_finished_run_checkpoint_returns_same(tmp_path):
     r2 = acc.BPG(f, h, L, x0, maxitrs=60, verbose=False, chunk=30,
                  checkpoint=ck)
     np.testing.assert_array_equal(r1[1], r2[1])
+
+
+def test_executable_cache_reuse():
+    """Same-shape solver calls reuse one compiled chunk executable."""
+    from accbpg_and_fw_tpu.algorithms import driver
+
+    f, h, L, x0 = acc.D_opt_design(10, 32, randseed=9)
+    acc.BPG(f, h, L, x0, maxitrs=30, verbose=False)
+    n_before = len(driver._EXEC_CACHE)
+    # different data, same shapes; different maxitrs — must hit the cache
+    f2, h2, L2, x02 = acc.D_opt_design(10, 32, randseed=11)
+    acc.BPG(f2, h2, L2, x02, maxitrs=45, verbose=False)
+    assert len(driver._EXEC_CACHE) == n_before
+    # different shapes -> new entry
+    f3, h3, L3, x03 = acc.D_opt_design(10, 48, randseed=9)
+    acc.BPG(f3, h3, L3, x03, maxitrs=30, verbose=False)
+    assert len(driver._EXEC_CACHE) == n_before + 1

@@ -30,8 +30,8 @@ class TestShardedDOpt:
 
         x1, F1, Ls1, T1 = acc.BPG(f, h, L, x0, maxitrs=50, verbose=False)
         x2, F2, Ls2, T2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=50, verbose=False)
-        np.testing.assert_allclose(np.asarray(F1), np.asarray(F2), rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(F1), np.asarray(F2), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-11)
 
     def test_abpg_gain_sharded_matches_single(self, mesh):
         f, h, L, x0 = acc.D_opt_design(16, 64, randseed=5)
@@ -81,7 +81,7 @@ class TestShardedRegression:
         r2 = acc.FW_alg_div_step(f_sh, h, float(L), x_sh, 50, gamma=2.0,
                                  lmo=lmo, verbose=False)
         np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
-                                   rtol=1e-12)
+                                   rtol=1e-9)
 
     def test_poisson_sharded(self, mesh):
         f, h, L, x0 = acc.Poisson_regrL1(64, 20, noise=0.0001, randseed=2)
@@ -89,7 +89,7 @@ class TestShardedRegression:
         r1 = acc.BPG(f, h, L, x0, maxitrs=50, linesearch=False, verbose=False)
         r2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=50, linesearch=False, verbose=False)
         np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
-                                   rtol=1e-12)
+                                   rtol=1e-9)
 
 
 class TestBatchedSweeps:
