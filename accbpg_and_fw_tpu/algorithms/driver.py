@@ -201,7 +201,24 @@ def run_driver(
 
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
     if problem is not None:
-        problem = jax.tree_util.tree_map(jnp.asarray, problem)
+        try:
+            problem_arrays = jax.tree_util.tree_map(jnp.asarray, problem)
+        except (TypeError, ValueError):
+            # the problem holds non-array leaves — e.g. user-defined
+            # plain-class oracles in the reference's subclassing style
+            # (functions.py:10-24/199-235).  Those cannot cross the jit
+            # boundary as arguments; fall back to the closure path (correct,
+            # just compiled per invocation instead of cached).
+            problem_arrays = None
+        if problem_arrays is None:
+            raw = step
+            cfg_, prob_ = cfg, problem
+            step = lambda c, k: raw(cfg_, prob_, c, k)  # noqa: E731
+            chunk = max(1, min(chunk, maxitrs))
+            problem = None
+        else:
+            problem = problem_arrays
+    if problem is not None:
         exe = _get_compiled_chunk(step, cfg, chunk, problem, carry)
 
         def compiled(c, k0):

@@ -99,3 +99,12 @@ class LegendreOracle:
 
     def gradient(self, x):
         return self.grad(x)
+
+
+# Reference base-class names (functions.py:10 `RSmoothFunction`, :199
+# `LegendreFunction`): user code subclasses these to define custom oracles —
+# the library's key extension point (reference README.md:59).  Plain-class
+# subclasses work with every driver (the engine falls back to closure
+# compilation when an oracle is not a pytree of arrays).
+RSmoothFunction = SmoothOracle
+LegendreFunction = LegendreOracle

@@ -100,3 +100,57 @@ def test_accbpg_compat_alias():
                  "D_opt_FW_away", "lmo_simplex", "plot_comparisons",
                  "Poisson_regrL1", "solve_theta"):
         assert hasattr(accbpg, name), name
+
+
+def test_custom_plain_class_oracles():
+    """The reference's extension point: users subclass RSmoothFunction /
+    LegendreFunction as plain Python classes (README.md:59). The drivers
+    must accept them (closure-compilation fallback)."""
+    import accbpg
+
+    class MyQuadratic(accbpg.RSmoothFunction):
+        def __init__(self, A, b):
+            self.A = jnp.asarray(A)
+            self.b = jnp.asarray(b)
+
+        def value(self, x, key=None):
+            r = self.A @ x - self.b
+            return 0.5 * jnp.vdot(r, r)
+
+        def value_and_grad(self, x, key=None):
+            r = self.A @ x - self.b
+            return 0.5 * jnp.vdot(r, r), self.A.T @ r
+
+    class MyEuclidean(accbpg.LegendreFunction):
+        def value(self, x):
+            return 0.5 * jnp.vdot(x, x)
+
+        def grad(self, x):
+            return x
+
+        def divergence(self, x, y):
+            d = x - y
+            return 0.5 * jnp.vdot(d, d)
+
+        def div_prox_map(self, y, g, L):
+            return y - g / L
+
+        def prox_map(self, g, L):
+            return -g / L
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((20, 8))
+    b = rng.standard_normal(20)
+    f = MyQuadratic(A, b)
+    h = MyEuclidean()
+    L = float(np.linalg.norm(A, 2) ** 2)
+    x0 = jnp.zeros(8)
+
+    xs, *_ = np.linalg.lstsq(A, b, rcond=None)
+    r = A @ xs - b
+    F_star = 0.5 * float(np.dot(r, r))
+
+    x, F, Ls, T = accbpg.BPG(f, h, L, x0, maxitrs=500, verbose=False)
+    assert F[-1] - F_star < 1e-8
+    x2, F2, G2, T2 = accbpg.ABPG(f, h, L, x0, gamma=2, maxitrs=500, verbose=False)
+    assert F2[-1] - F_star < 1e-6
