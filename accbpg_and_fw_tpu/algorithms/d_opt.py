@@ -204,9 +204,28 @@ def _make_dopt_step(V, eps, *, away, u_mode="auto"):
     return step
 
 
+def _warn_if_downcast(V_in, V_dev):
+    import numpy as np
+
+    if (getattr(V_in, "dtype", None) == np.float64
+            and V_dev.dtype == jnp.float32):
+        import warnings
+
+        warnings.warn(
+            "float64 design matrix silently downcast to float32 because "
+            "jax_enable_x64 is off; tight slack tolerances (<1e-4) are "
+            "unreachable in float32. Enable x64 "
+            "(jax.config.update('jax_enable_x64', True)) for "
+            "reference-accuracy solves.",
+            stacklevel=3,
+        )
+
+
 def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
               refresh_every, header, checkpoint=None, u_mode="auto"):
+    V_in = V
     V = jnp.asarray(V)
+    _warn_if_downcast(V_in, V)
     x0 = jnp.asarray(x0, V.dtype)
     H, w, logdet = _dopt_factorize(V, x0)
     prob, cfg = _dopt_problem(V, eps, u_mode)
