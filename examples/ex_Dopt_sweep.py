@@ -1,5 +1,8 @@
 """Iteration-complexity sweeps for D-optimal design — vmapped.
 
+Default eps=1e-4 suits float32 (the default device dtype); enable x64 for
+tighter targets (f64 batches match reference-numpy iteration counts).
+
 Equivalent of the reference's ipynb/ABPGvsFW studies (ex_Dopt_FW_m80 /
 _n1000 / _n2000: K = 3-10 seeded repeats per (m, n) config, iterations to
 reach complementary slackness eps, geometric means) — but the K repeats
@@ -19,7 +22,7 @@ def iters_to_eps(SP, SN, eps):
     return int(np.argmax(ok)) if ok.any() else -1
 
 
-def start(m=30, n_list=(200, 400, 800), K=4, eps=1e-6, num_iters=4000,
+def start(m=30, n_list=(200, 400, 800), K=4, eps=1e-4, num_iters=4000,
           seed=0, verbose=True):
     rng = np.random.default_rng(seed)
     results = {}
