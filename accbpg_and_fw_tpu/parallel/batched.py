@@ -10,16 +10,57 @@ sequential GEMV streams.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from ..algorithms.d_opt import _dopt_factorize, _make_dopt_step
-from ..algorithms.driver import scan_full
+from ..algorithms.d_opt import (
+    _dopt_factorize,
+    _make_dopt_step,
+    _warn_if_downcast,
+)
+from ..algorithms.driver import _wrap_step
 
 
 def vmap_solver(solve_one, *batched_args):
     """jit(vmap(...)) a single-instance solver over leading batch axes."""
     return jax.jit(jax.vmap(solve_one))(*batched_args)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _batch_solve(away, refresh_every, num_iters, Vs, x0s, eps):
+    """Module-level jitted batch solve — cached across calls with matching
+    shapes and static options (a closure form would recompile per call)."""
+
+    def solve_one(V, x0):
+        step = _make_dopt_step(V, eps, away=away)
+        wrapped = _wrap_step(step)
+        H, w, logdet = _dopt_factorize(V, x0)
+        carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
+
+        if not refresh_every or refresh_every >= num_iters:
+            carry, hist = lax.scan(wrapped, carry,
+                                   jnp.arange(num_iters, dtype=jnp.int32))
+            return carry["x"], hist["F"], hist["SP"], hist["SN"]
+
+        R = int(refresh_every)
+        nblocks = -(-num_iters // R)
+
+        def block(c, _):
+            Hn, wn, ldn = _dopt_factorize(V, c["x"])
+            c = dict(done=c["done"], x=c["x"], w=wn, H=Hn, logdet=ldn)
+            return lax.scan(wrapped, c, jnp.arange(R, dtype=jnp.int32))
+
+        carry, hists = lax.scan(block, carry, None, length=nblocks)
+        hist = jax.tree_util.tree_map(
+            lambda a: a.reshape((nblocks * R,) + a.shape[2:])[:num_iters],
+            hists,
+        )
+        return carry["x"], hist["F"], hist["SP"], hist["SN"]
+
+    return jax.vmap(solve_one)(Vs, x0s)
 
 
 def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0):
@@ -28,7 +69,8 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0):
     Vs: (K, m, n) stacked design matrices; x0s: (K, n) initial points.
     Runs ``num_iters`` Frank-Wolfe(-away) iterations for every instance
     (instances that converge earlier freeze via their done flag) and returns
-    ``(x, F, SP, SN)`` with leading batch axis K.
+    ``(x, F, SP, SN)`` with leading batch axis K.  Compiled executables are
+    cached across calls with matching shapes/static options.
 
     ``refresh_every``: refactorize (H, w, logdet) from the current iterate
     every R iterations inside the scan — cancels rank-1 rounding drift for
@@ -49,40 +91,10 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0):
     independent O(mn) GEMVs into one (K, m, n) batched contraction — a large
     net win on the MXU for sweep workloads.
     """
-    import jax
-    from jax import lax
-
-    from ..algorithms.d_opt import _warn_if_downcast
-
     Vs_in = Vs
     Vs = jnp.asarray(Vs)
     _warn_if_downcast(Vs_in, Vs)
     x0s = jnp.asarray(x0s, Vs.dtype)
-
-    def solve_one(V, x0):
-        step = _make_dopt_step(V, eps, away=away)
-        H, w, logdet = _dopt_factorize(V, x0)
-        carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
-        if not refresh_every or refresh_every >= num_iters:
-            carry, hist = scan_full(step, carry, num_iters)
-            return carry["x"], hist["F"], hist["SP"], hist["SN"]
-
-        from ..algorithms.driver import _wrap_step
-
-        wrapped = _wrap_step(step)
-        R = int(refresh_every)
-        nblocks = -(-num_iters // R)
-
-        def block(c, _):
-            Hn, wn, ldn = _dopt_factorize(V, c["x"])
-            c = dict(done=c["done"], x=c["x"], w=wn, H=Hn, logdet=ldn)
-            return lax.scan(wrapped, c, jnp.arange(R, dtype=jnp.int32))
-
-        carry, hists = lax.scan(block, carry, None, length=nblocks)
-        hist = jax.tree_util.tree_map(
-            lambda a: a.reshape((nblocks * R,) + a.shape[2:])[:num_iters],
-            hists,
-        )
-        return carry["x"], hist["F"], hist["SP"], hist["SN"]
-
-    return vmap_solver(solve_one, Vs, x0s)
+    eps = jnp.asarray(eps, Vs.dtype)
+    return _batch_solve(bool(away), int(refresh_every), int(num_iters),
+                        Vs, x0s, eps)

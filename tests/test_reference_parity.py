@@ -249,3 +249,21 @@ class TestDriverLogicGoldenExtras:
         np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
         # final cumulative log-step count matches the reference's last entry
         assert int(out_r[3][-1]) == int(out_o[3][-1])
+
+
+def test_fw_l0l1_log_only_golden():
+    ref = _load_ref("algorithms_fw")
+    import jax
+
+    import accbpg_and_fw_tpu as acc2
+
+    f, h, L, L0, L1, x0, X, y = acc2.hard_FW_log_reg_jax(
+        jax.random.PRNGKey(4), 60, 12, radius=1.2, domain="l2")
+    lmo = acc2.lmo_l2_ball(1.2)
+    out_r = ref.FW_l0l1_log_only(f, h, 1e-3, float(L1), np.asarray(x0), 30,
+                                 lmo, 2.0, verbose=False)
+    out_o = acc2.FW_l0l1_log_only(f, h, 1e-3, float(L1), x0, 30, lmo=lmo,
+                                  ls_ratio=2.0, verbose=False)
+    assert len(out_r[1]) == len(out_o[1])
+    np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
+    assert int(out_r[3][-1]) == int(out_o[3][-1])
