@@ -270,6 +270,12 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
     """ABPG with exponent adaption: start gamma0 > 2, decrease gamma by
     ``delta`` (floor 1) while the TSE inequality / descent condition fails
     (reference: algorithms.py:183-292).  Returns ``(x, F, Gamma, G, T)``.
+
+    Documented deviation: with ``restart=True, restart_rule='f'`` the
+    reference's k=0 iteration compares F[0] against the uninitialized
+    history slot F[-1] == 0 (algorithms.py:268), so it restarts at k=0
+    whenever F[0] > 0.  Here F_prev starts at +inf and the k=0 comparison
+    never triggers — restarts react to actual objective increases only.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
@@ -382,6 +388,12 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
     multiply by ls_inc on failure), theta from solve_theta(theta_1, gamma,
     G/G_1) or the closed form (reference: algorithms.py:295-420).
     Returns ``(x, F, Gain, Gdiv, Gavg, T)``.
+
+    Documented deviation: with ``restart=True, restart_rule='f'`` the
+    reference's k=0 iteration compares F[0] against the uninitialized
+    history slot F[-1] == 0 and restarts whenever F[0] > 0
+    (algorithms.py:404-405); here F_prev starts at +inf so the k=0
+    comparison never triggers (see ABPG_expo).
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype

@@ -9,7 +9,7 @@ is compiled once and executed on device as ``lax.scan`` chunks:
   round-trips, no retracing;
 * early stopping with the reference's exact truncation semantics: a step
   records ``_stop`` in its history; iterations after the stop run through a
-  ``lax.cond`` dead-branch (no compute) and are sliced off on host;
+  frozen-carry ``where`` select (no branchy cond) and are sliced off on host;
 * wall-clock ``T`` arrays measured at chunk boundaries and interpolated
   within a chunk (the reference's ``T[k] = time.time() - start`` is the same
   signal at 1-iteration granularity);
@@ -29,6 +29,19 @@ Because the problem is a traced ARGUMENT (not a closure constant), compiled
 chunk executables are cached per (step, cfg, chunk, avals+shardings) and
 REUSED across solver calls with the same shapes — repeat solves, sweeps and
 line-search studies pay the (remote) compile exactly once per process.
+
+Chunks are launched at an arbitrary starting iteration ``k0`` (a traced
+argument), so the host loop tracks the NEXT GLOBAL ITERATION ``k_next``
+instead of a chunk counter.  Consequences:
+
+* drivers whose k=0 step is a special initialization run it once OUTSIDE
+  the scan (jitted) and enter the driver with ``k_start=1`` — no
+  ``lax.cond`` threading the full carry through every iteration (a cond
+  with a large carry materializes both branches per scan step: measured
+  ~60x slowdown for the D-opt state, DESIGN.md §3);
+* checkpoints store ``k_next`` + the valid history rows, NOT whole chunks —
+  resuming with a different ``chunk`` or a larger ``maxitrs`` budget is
+  exact (the scan restarts mid-"chunk" at the precise saved iteration).
 """
 
 from __future__ import annotations
@@ -42,6 +55,8 @@ import numpy as np
 from jax import lax
 
 _EXEC_CACHE: dict = {}
+
+_CKPT_VERSION = 2
 
 
 def _aval_key(tree):
@@ -109,44 +124,73 @@ def _wrap_step(step):
     return wrapped
 
 
-def _save_checkpoint(path, carry, hists, bounds, ci):
-    """Atomically persist carry + per-chunk history + wall-time bounds."""
+def _fingerprint(step, cfg) -> str:
+    """Stable-across-processes identity of the algorithm being checkpointed.
+
+    Guards against resuming a checkpoint with a different driver (the carry
+    keys are additionally validated at load).  Config objects are identified
+    by type name only — closure members (oracles, LMOs) have no stable repr.
+    """
+    name = getattr(step, "__qualname__", None) or repr(step)
+    mod = getattr(step, "__module__", "?")
+    return f"{mod}.{name}|{type(cfg).__name__}"
+
+
+def _save_checkpoint(path, carry, blocks, k_next, t_spent, fp):
+    """Atomically persist carry + valid history rows + progress marker."""
     import os
 
-    payload = {"__ci": np.asarray(ci), "__bounds": np.asarray(bounds),
-               "__nchunks_done": np.asarray(len(hists))}
+    payload = {
+        "__v": np.asarray(_CKPT_VERSION),
+        "__k_next": np.asarray(k_next),
+        "__t": np.asarray(t_spent),
+        "__fp": np.asarray(fp),
+    }
     for k, v in jax.device_get(carry).items():
         payload[f"c::{k}"] = np.asarray(v)
-    if hists:
-        for name in hists[0]:
-            payload[f"h::{name}"] = np.concatenate([h[name] for h in hists])
+    if blocks:
+        for name in blocks[0][0]:
+            payload[f"h::{name}"] = np.concatenate(
+                [b[0][name] for b in blocks])
     tmp = path + ".tmp.npz"  # np.savez appends .npz unless already present
     np.savez(tmp, **payload)
     os.replace(tmp, path)
 
 
-def _load_checkpoint(path, carry_proto):
-    """Load a checkpoint if present; returns (carry, hists, bounds, ci)."""
+def _load_checkpoint(path, carry_proto, fp):
+    """Load a checkpoint if present; returns (carry, block, k_next, t_spent).
+
+    ``block`` holds the already-completed valid history rows (or None when
+    the checkpoint predates the first chunk)."""
     import os
 
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
-        ci = int(z["__ci"])
-        bounds = list(z["__bounds"])
-        ndone = int(z["__nchunks_done"])
+        if "__v" not in z.files or int(z["__v"]) != _CKPT_VERSION:
+            raise ValueError(
+                f"checkpoint {path!r} has an incompatible format "
+                "(saved by an older version); delete it to start fresh")
+        saved_fp = str(z["__fp"])
+        if saved_fp != fp:
+            raise ValueError(
+                f"checkpoint {path!r} was saved by a different solver "
+                f"({saved_fp}); refusing to resume as {fp}. Delete the "
+                "file to start fresh.")
+        saved_keys = sorted(n[3:] for n in z.files if n.startswith("c::"))
+        if saved_keys != sorted(carry_proto.keys()):
+            raise ValueError(
+                f"checkpoint {path!r} carry keys {saved_keys} do not match "
+                f"this solver's state {sorted(carry_proto.keys())}")
+        k_next = int(z["__k_next"])
+        t_spent = float(z["__t"])
         carry = {}
         for k, proto in carry_proto.items():
-            arr = z[f"c::{k}"]
-            carry[k] = jnp.asarray(arr, jnp.asarray(proto).dtype)
-        hists = []
+            carry[k] = jnp.asarray(z[f"c::{k}"], jnp.asarray(proto).dtype)
         hist_names = [n[3:] for n in z.files if n.startswith("h::")]
-        if ndone and hist_names:
-            per = len(z[f"h::{hist_names[0]}"]) // ndone
-            for c in range(ndone):
-                hists.append({name: z[f"h::{name}"][c * per:(c + 1) * per]
-                              for name in hist_names})
-    return carry, hists, bounds, ci
+        block = ({name: z[f"h::{name}"] for name in hist_names}
+                 if hist_names else None)
+    return carry, block, k_next, t_spent
 
 
 def run_driver(
@@ -164,8 +208,10 @@ def run_driver(
     checkpoint: Optional[str] = None,
     problem=None,
     cfg=None,
+    k_start: int = 0,
 ):
-    """Run ``step`` for up to ``maxitrs`` iterations in compiled scan chunks.
+    """Run ``step`` for iterations ``k_start <= k < maxitrs`` in compiled
+    scan chunks.
 
     Two step forms are supported:
     * cached (preferred): ``problem`` is a traced pytree and ``step`` a
@@ -174,23 +220,32 @@ def run_driver(
     * legacy closure: ``problem is None`` and ``step(carry, k)`` closes over
       its data — compiled fresh per invocation.
 
+    ``k_start``: drivers whose k=0 step is a one-off initialization run it
+    jitted BEFORE the driver and pass ``k_start=1`` — keeping a branchy
+    ``lax.cond(k == 0, ...)`` out of the scan body (see module docstring).
+    The returned history covers ``k_start..stop`` only; callers prepend
+    their init row.
+
     ``between_chunks(carry, k_next) -> carry``, if given, runs on host
     between chunks (e.g. periodic state refactorization) — it must preserve
     the carry structure.
 
     ``checkpoint``: path of an ``.npz`` checkpoint.  After every chunk the
-    full solver state (carry + history so far + consumed wall time) is
-    saved there atomically; if the file already exists when the driver
-    starts, the run RESUMES from it (the reference has no checkpointing —
-    SURVEY.md §5 — its state died with the process).  Delete the file to
-    start fresh.
+    full solver state (carry + valid history rows + next iteration + wall
+    time consumed) is saved there atomically; if the file already exists
+    when the driver starts, the run RESUMES from it — exactly, even with a
+    different ``chunk`` or a larger ``maxitrs`` budget, because progress is
+    tracked per iteration, not per chunk.  The file records the solver
+    identity and carry structure and refuses to resume a mismatched run.
+    Delete the file to start fresh.  (The reference has no checkpointing —
+    SURVEY.md §5 — its state died with the process.)
 
     Returns ``(carry, hist, T)`` where ``hist`` maps each history name to a
     host numpy array truncated at the stopping iteration (inclusive), and
     ``T`` is the wall-time array with the reference's semantics.
     """
-    if maxitrs <= 0:
-        raise ValueError("maxitrs must be positive")
+    if maxitrs <= k_start:
+        raise ValueError(f"maxitrs must be > {k_start}")
     if chunk is None:
         # fixed default (not min(maxitrs, .)) so different maxitrs with the
         # same shapes share one cached executable; iterations past maxitrs
@@ -199,6 +254,7 @@ def run_driver(
             min(maxitrs, max(verbskip, 256)))
     chunk = max(1, chunk if problem is not None else min(chunk, maxitrs))
 
+    fp = _fingerprint(step, cfg)
     carry = jax.tree_util.tree_map(jnp.asarray, carry)
     if problem is not None:
         try:
@@ -230,63 +286,71 @@ def run_driver(
             ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
             return lax.scan(wrapped, c, ks)
 
-        compiled = jax.jit(run_chunk).lower(carry, jnp.int32(0)).compile()
+        compiled = (jax.jit(run_chunk)
+                    .lower(carry, jnp.int32(0)).compile())
 
-    nchunks = -(-maxitrs // chunk)
     if verbose and header:
         print(header)
 
-    hists = []
-    bounds = [0.0]
-    ci0 = 0
+    # blocks: list of (valid-rows hist dict, t_a, t_b, rows_launched)
+    blocks = []
+    k_next = k_start
+    t_spent = 0.0
     if checkpoint is not None:
-        state = _load_checkpoint(checkpoint, carry)
+        state = _load_checkpoint(checkpoint, carry, fp)
         if state is not None:
-            carry, hists, bounds, ci0 = state
+            carry, block, k_next, t_spent = state
+            if block is not None:
+                nrows = len(next(iter(block.values())))
+                blocks.append((block, 0.0, t_spent, nrows))
 
-    t0 = time.time() - bounds[-1]
-    for ci in range(ci0, nchunks):
-        carry, hist = compiled(carry, jnp.int32(ci * chunk))
+    t0 = time.time() - t_spent
+    while k_next < maxitrs and not bool(jax.device_get(carry["done"])):
+        t_a = time.time() - t0
+        carry, hist = compiled(carry, jnp.int32(k_next))
         hist = jax.device_get(jax.block_until_ready(hist))
-        bounds.append(time.time() - t0)
-        hists.append(hist)
+        t_b = time.time() - t0
+        nv = int(hist["_valid"].sum())
+        block = {name: v[:nv] for name, v in hist.items()}
+        blocks.append((block, t_a, t_b, chunk))
 
         if verbose and print_row is not None:
-            t_a, t_b = bounds[-2], bounds[-1]
-            for j in range(chunk):
-                k = ci * chunk + j
-                if k >= maxitrs or not bool(hist["_valid"][j]):
-                    break
+            for j in range(nv):
+                k = k_next + j
                 if k % verbskip == 0:
-                    row = {name: v[j] for name, v in hist.items()}
+                    row = {name: v[j] for name, v in block.items()}
                     print_row(k, row, t_a + (t_b - t_a) * j / chunk)
 
+        k_next += nv
         if checkpoint is not None:
-            _save_checkpoint(checkpoint, carry, hists, bounds, ci + 1)
+            _save_checkpoint(checkpoint, carry, blocks, k_next,
+                             time.time() - t0, fp)
         if bool(jax.device_get(carry["done"])):
             break
-        if between_chunks is not None:
-            carry = between_chunks(carry, (ci + 1) * chunk)
+        if between_chunks is not None and k_next < maxitrs:
+            carry = between_chunks(carry, k_next)
 
     # concatenate + truncate with the reference's inclusive-stop semantics
     full = {
-        name: np.concatenate([h[name] for h in hists])
-        for name in hists[0].keys()
+        name: np.concatenate([b[0][name] for b in blocks])
+        for name in blocks[0][0].keys()
     }
-    valid = full.pop("_valid")
-    n = int(valid.sum())
-    n = min(n, maxitrs)
+    full.pop("_valid", None)
+    n = min(len(next(iter(full.values()))), maxitrs - k_start)
     out = {name: v[:n] for name, v in full.items()}
     out.pop("_stop", None)
 
-    # wall-time interpolation at chunk granularity
+    # wall-time interpolation at chunk granularity: each block's rows spread
+    # linearly over its measured [t_a, t_b] window (frozen tail iterations
+    # still execute on device, so the denominator is rows LAUNCHED)
     T = np.zeros(n)
-    for ci in range(len(hists)):
-        a, b = ci * chunk, min((ci + 1) * chunk, n)
-        if a >= n:
+    pos = 0
+    for block, t_a, t_b, launched in blocks:
+        nb = min(len(next(iter(block.values()))), n - pos)
+        if nb <= 0:
             break
-        t_a, t_b = bounds[ci], bounds[ci + 1]
-        T[a:b] = t_a + (t_b - t_a) * (np.arange(a, b) - a) / chunk
+        T[pos:pos + nb] = t_a + (t_b - t_a) * np.arange(nb) / max(launched, 1)
+        pos += nb
     out["T"] = T
     return carry, out, T
 

@@ -35,6 +35,40 @@ class _AIBMCfg(NamedTuple):
     pass
 
 
+def _aibm_init_impl(prob, c):
+    """AIBM k=0 initialization (reference: algorithms.py:608-624), run ONCE
+    outside the scan — a ``lax.cond(k == 0, ...)`` inside the scan would
+    materialize both branches' x-sized carries every iteration."""
+    f, h = prob["f"], prob["h"]
+    eps, noise = prob["eps"], prob["noise"]
+    dt = c["x"].dtype
+    one = jnp.asarray(1.0, dt)
+
+    key, sub = jax.random.split(c["key"])
+    delta = noise * jax.random.uniform(sub, dtype=dt)
+    zero = jnp.zeros_like(c["x"])
+
+    x = h.prox_map(zero, one)
+    fx, g = f.value_and_grad(x)
+    y = h.prox_map(g, one)
+    ref = fx + jnp.vdot(g, y - x) + eps + delta
+
+    def cond(s):
+        Lc, t = s
+        return ~(f.value(y) <= ref + Lc * h.divergence(y, x)) & (t < _LS_MAX)
+
+    Lc, _ = lax.while_loop(cond, lambda s: (s[0] * 2.0, s[1] + 1),
+                           (c["L"], 0))
+    alpha = 1.0 / Lc
+    F0 = fx + h.extra_psi(x)
+    c2 = dict(done=c["done"], key=key, x=x, y=y, z=x, L=Lc,
+              A=alpha, xi=alpha * g, F_prev=F0)
+    return c2, F0, Lc
+
+
+_aibm_init = jax.jit(_aibm_init_impl)
+
+
 def _aibm_step(cfg, prob, c, k):
     f, h = prob["f"], prob["h"]
     gamma, eps, noise = prob["gamma"], prob["eps"], prob["noise"]
@@ -44,25 +78,6 @@ def _aibm_step(cfg, prob, c, k):
 
     key, sub = jax.random.split(c["key"])
     delta = noise * jax.random.uniform(sub, dtype=dt)
-    zero = jnp.zeros_like(c["x"])
-
-    def init(c):
-        x = h.prox_map(zero, one)
-        fx, g = f.value_and_grad(x)
-        y = h.prox_map(g, one)
-        ref = fx + jnp.vdot(g, y - x) + eps + delta
-
-        def cond(s):
-            Lc, t = s
-            return ~(f.value(y) <= ref + Lc * h.divergence(y, x)) & (t < _LS_MAX)
-
-        Lc, _ = lax.while_loop(cond, lambda s: (s[0] * 2.0, s[1] + 1),
-                               (c["L"], 0))
-        alpha = 1.0 / Lc
-        F0 = fx + h.extra_psi(x)
-        c2 = dict(done=c["done"], key=key, x=x, y=y, z=x, L=Lc,
-                  A=alpha, xi=alpha * g, F_prev=F0)
-        return c2, dict(F=F0, G=Lc, _stop=jnp.asarray(False))
 
     def main(c):
         y, z, xi, A = c["y"], c["z"], c["xi"], c["A"]
@@ -94,7 +109,7 @@ def _aibm_step(cfg, prob, c, k):
                   L=s["L"], A=A_new, xi=s["xi"], F_prev=Fk)
         return c2, dict(F=Fk, G=jnp.asarray(0.0, dt), _stop=stop)
 
-    return lax.cond(k == 0, init, main, c)
+    return main(c)
 
 
 def AIBM(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, verbose=True, noise=0,
@@ -119,12 +134,26 @@ def AIBM(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, verbose=True, noise=0,
     def row(k, r, t):
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(k, r["F"], r["G"], t))
 
+    try:
+        carry, F0, G0 = _aibm_init(prob, carry)
+    except (TypeError, ValueError):
+        # non-pytree user oracles (reference subclass style) can't cross jit
+        carry, F0, G0 = _aibm_init_impl(prob, carry)
+    F0, G0 = np.asarray(F0), np.asarray(G0)
+    if verbose:
+        print(header)
+        row(0, {"F": F0, "G": G0}, 0.0)
+    if maxitrs <= 1:
+        return carry["x"], np.array([F0]), np.array([G0]), np.zeros(1)
     carry, hist, T = run_driver(_aibm_step, carry, maxitrs, verbose=verbose,
-                                verbskip=verbskip, header=header,
+                                verbskip=verbskip, header=None,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_AIBMCfg())
-    return carry["x"], hist["F"], hist["G"], T
+                                cfg=_AIBMCfg(), k_start=1)
+    F = np.concatenate([[F0], hist["F"]])
+    G = np.concatenate([[G0], hist["G"]])
+    T = np.concatenate([[0.0], T])
+    return carry["x"], F, G, T
 
 
 # ---------------------------------------------------------------------------
@@ -149,12 +178,6 @@ def _fgm_step(cfg, prob, c, k):
 
     key, sub = jax.random.split(c["key"])
     nz = noise * jax.random.uniform(sub, dtype=dt)
-
-    def init(c):
-        fx = f.value(c["x"])
-        F0 = fx + h.extra_psi(c["x"])
-        c2 = dict(c, key=key, F_prev=F0)
-        return c2, dict(F=F0, G=c["L"], _stop=jnp.asarray(False))
 
     def main(c):
         x_k, u_k, A_k = c["x"], c["u"], c["A"]
@@ -188,7 +211,23 @@ def _fgm_step(cfg, prob, c, k):
                   L=s["L"], F_prev=Fk)
         return c2, dict(F=Fk, G=s["L"], _stop=stop)
 
-    return lax.cond(k == 0, init, main, c)
+    return main(c)
+
+
+def _fgm_init_impl(prob, c):
+    """AdaptFGM/UniversalGM k=0 row (reference: algorithms.py:680-684), run
+    once outside the scan (same rationale as ``_aibm_init_impl``).  The
+    reference's k=0 iteration consumes one noise draw without using it —
+    replicated here so noisy trajectories stay bit-identical."""
+    f, h = prob["f"], prob["h"]
+    key, _sub = jax.random.split(c["key"])
+    fx = f.value(c["x"])
+    F0 = fx + h.extra_psi(c["x"])
+    c2 = dict(c, key=key, F_prev=F0)
+    return c2, F0, c["L"]
+
+
+_fgm_init = jax.jit(_fgm_init_impl)
 
 
 def _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise, verbskip, seed,
@@ -206,12 +245,26 @@ def _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise, verbskip, seed,
     def row(k, r, t):
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(k, r["F"], r["G"], t))
 
+    try:
+        carry, F0, G0 = _fgm_init(prob, carry)
+    except (TypeError, ValueError):
+        carry, F0, G0 = _fgm_init_impl(prob, carry)
+    F0, G0 = np.asarray(F0), np.asarray(G0)
+    if verbose:
+        print(header)
+        row(0, {"F": F0, "G": G0}, 0.0)
+    if maxitrs <= 1:
+        return carry["x"], np.array([F0]), np.array([G0]), np.zeros(1)
     carry, hist, T = run_driver(_fgm_step, carry, maxitrs, verbose=verbose,
-                                verbskip=verbskip, header=header,
+                                verbskip=verbskip, header=None,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_FGMCfg(universal=bool(universal)))
-    return carry["x"], hist["F"], hist["G"], T
+                                cfg=_FGMCfg(universal=bool(universal)),
+                                k_start=1)
+    F = np.concatenate([[F0], hist["F"]])
+    G = np.concatenate([[G0], hist["G"]])
+    T = np.concatenate([[0.0], T])
+    return carry["x"], F, G, T
 
 
 def AdaptFGM(f, h, L, x0, maxitrs, epsilon=1e-14, verbose=True, noise=0,

@@ -21,6 +21,7 @@ from typing import Any, NamedTuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -144,29 +145,32 @@ class _FWDescentCfg(NamedTuple):
     lmo: Any
 
 
+def _fw_descent_init_impl(prob, c):
+    """k=0 gradient seeding (reference: algorithms_fw.py:224-228), run once
+    outside the scan — a ``lax.cond(k == 0, ...)`` in the scan body would
+    materialize both branches' x-sized carries every iteration."""
+    f, h = prob["f"], prob["h"]
+    fx, g = f.value_and_grad(c["x"])
+    Fk = fx + h.extra_psi(c["x"])
+    return dict(done=c["done"], x=c["x"], g=g, F_prev=Fk), Fk
+
+
+_fw_descent_init = jax.jit(_fw_descent_init_impl)
+
+
 def _fw_descent_step(cfg, prob, c, k):
     f, h, eps = prob["f"], prob["h"], prob["eps"]
     dt = c["x"].dtype
 
-    def first(c):
-        fx, g = f.value_and_grad(c["x"])
-        Fk = fx + h.extra_psi(c["x"])
-        c2 = dict(done=c["done"], x=c["x"], g=g, F_prev=Fk)
-        return c2, dict(F=Fk, alpha=jnp.asarray(0.0, dt),
-                        _stop=jnp.asarray(False))
-
-    def rest(c):
-        s = cfg.lmo(c["g"])
-        d = s - c["x"]
-        alpha = 2.0 / (k.astype(dt) + 2.0)
-        x = c["x"] + alpha * d
-        fx, g = f.value_and_grad(x)
-        Fk = fx + h.extra_psi(x)
-        stop = (jnp.abs(Fk - c["F_prev"]) < eps) | (jnp.linalg.norm(g.ravel()) < eps)
-        c2 = dict(done=c["done"], x=x, g=g, F_prev=Fk)
-        return c2, dict(F=Fk, alpha=alpha, _stop=stop)
-
-    return lax.cond(k == 0, first, rest, c)
+    s = cfg.lmo(c["g"])
+    d = s - c["x"]
+    alpha = 2.0 / (k.astype(dt) + 2.0)
+    x = c["x"] + alpha * d
+    fx, g = f.value_and_grad(x)
+    Fk = fx + h.extra_psi(x)
+    stop = (jnp.abs(Fk - c["F_prev"]) < eps) | (jnp.linalg.norm(g.ravel()) < eps)
+    c2 = dict(done=c["done"], x=x, g=g, F_prev=Fk)
+    return c2, dict(F=Fk, alpha=alpha, _stop=stop)
 
 
 def FW_alg_descent_step(f, h, x0, maxitrs, lmo, epsilon=1e-14, verbose=True,
@@ -184,17 +188,26 @@ def FW_alg_descent_step(f, h, x0, maxitrs, lmo, epsilon=1e-14, verbose=True,
               "     k      F(x)         alpha_k       time")
 
     def row(k, r, t):
-        if k == 0:
-            return
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(k, r["F"], r["alpha"], t))
 
+    try:
+        carry, F0 = _fw_descent_init(prob, carry)
+    except (TypeError, ValueError):
+        carry, F0 = _fw_descent_init_impl(prob, carry)
+    F0 = np.asarray(F0)
+    if verbose:
+        print(header)  # the reference prints no k=0 row for this driver
+    if maxitrs <= 1:
+        return carry["x"], np.array([F0]), np.zeros(1), np.zeros(1)
     carry, hist, T = run_driver(_fw_descent_step, carry, maxitrs,
                                 verbose=verbose, verbskip=verbskip,
-                                header=header, print_row=row, chunk=chunk,
+                                header=None, print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_FWDescentCfg(lmo=lmo))
-    G = np.zeros_like(hist["F"])
-    return carry["x"], hist["F"], T, G
+                                cfg=_FWDescentCfg(lmo=lmo), k_start=1)
+    F = np.concatenate([[F0], hist["F"]])
+    T = np.concatenate([[0.0], T])
+    G = np.zeros_like(F)
+    return carry["x"], F, T, G
 
 
 # ---------------------------------------------------------------------------

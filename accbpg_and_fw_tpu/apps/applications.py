@@ -175,16 +175,27 @@ def Poisson_regr_simplex(m, n, noise=0.01, normalizeA=True):
         f = PoissonRegression(A=_dev(A), b=_dev(b))
         return f, float(b.sum()), _dev(solution), _dev(x0)
 
-    scenarios = {
-        "x0_center_sol_center": make(random_point_on_simplex(n),
-                                     random_point_on_simplex(n, center=True)),
-        "x0_edge_sol_edge": make(edge_point_on_simplex(np.random.randint(n), n),
-                                 edge_point_on_simplex(np.random.randint(n), n)),
-        "x0_edge_sol_center": make(random_point_on_simplex(n, center=True),
-                                   edge_point_on_simplex(np.random.randint(n), n)),
-        "x0_center_sol_edge": make(edge_point_on_simplex(np.random.randint(n), n),
-                                   random_point_on_simplex(n, center=True)),
-    }
+    def scenario(place):
+        # draw x0 BEFORE solution — the reference's generate_sol_and_x0
+        # (applications.py:262-285) consumes the global numpy RNG in that
+        # order, and seeded instances must be bit-identical to it
+        if place == "x0_center_sol_center":
+            x0 = random_point_on_simplex(n, center=True)
+            solution = random_point_on_simplex(n)
+        elif place == "x0_edge_sol_edge":
+            x0 = edge_point_on_simplex(np.random.randint(n), n)
+            solution = edge_point_on_simplex(np.random.randint(n), n)
+        elif place == "x0_edge_sol_center":
+            x0 = edge_point_on_simplex(np.random.randint(n), n)
+            solution = random_point_on_simplex(n, center=True)
+        else:  # x0_center_sol_edge
+            x0 = random_point_on_simplex(n, center=True)
+            solution = edge_point_on_simplex(np.random.randint(n), n)
+        return make(solution, x0)
+
+    scenarios = {place: scenario(place) for place in (
+        "x0_center_sol_center", "x0_edge_sol_edge",
+        "x0_edge_sol_center", "x0_center_sol_edge")}
     return BurgEntropySimplex(), scenarios
 
 
@@ -344,6 +355,9 @@ def hard_FW_log_reg_jax(key, n_samples, n_features, radius=1.0, domain="l1",
     Returns ``(f, h, L, L0, L1, x0, X, y)``.
     """
     key, key_X, key_true, key_noise, key_flip = jax.random.split(key, 5)
+    # independent subkeys for the support / value / x0-vertex draws (a single
+    # reused key would correlate them)
+    key_supp, key_vals, key_x0vert = jax.random.split(key_true, 3)
 
     Sigma = toeplitz_matrix(n_features, rho)
     chol_Sigma = cholesky(Sigma, lower=True)
@@ -352,10 +366,10 @@ def hard_FW_log_reg_jax(key, n_samples, n_features, radius=1.0, domain="l1",
     X = X * (col_scale ** jnp.linspace(0, 1, n_features))[None, :]
 
     if domain in ("l1", "simplex"):
-        supp = jax.random.choice(key_true, n_features,
+        supp = jax.random.choice(key_supp, n_features,
                                  shape=(min(k_sparse, n_features),),
                                  replace=False)
-        vals = jax.random.uniform(key_true, shape=(supp.shape[0],),
+        vals = jax.random.uniform(key_vals, shape=(supp.shape[0],),
                                   minval=0.5, maxval=1.0)
         vals = vals / jnp.sum(jnp.abs(vals)) * radius
         true_omega = jnp.zeros(n_features).at[supp].set(vals)
@@ -363,11 +377,11 @@ def hard_FW_log_reg_jax(key, n_samples, n_features, radius=1.0, domain="l1",
             true_omega = jnp.abs(true_omega)
             true_omega = true_omega / jnp.sum(true_omega) * radius
     elif domain == "linf":
-        signs = jax.random.choice(key_true, jnp.array([-1.0, 1.0]),
+        signs = jax.random.choice(key_supp, jnp.array([-1.0, 1.0]),
                                   shape=(n_features,))
         true_omega = signs * radius
     else:  # l2
-        v = jax.random.normal(key_true, shape=(n_features,))
+        v = jax.random.normal(key_supp, shape=(n_features,))
         true_omega = radius * v / (jnp.linalg.norm(v) + 1e-12)
 
     logits = margin * (X @ true_omega) + class_bias
@@ -378,7 +392,7 @@ def hard_FW_log_reg_jax(key, n_samples, n_features, radius=1.0, domain="l1",
     y = jnp.where(y == 0, 1.0, y)
 
     if domain in ("l1", "simplex") and x0_mode != "center":
-        idx = jax.random.randint(key_true, (), 0, n_features)
+        idx = jax.random.randint(key_x0vert, (), 0, n_features)
         v = jnp.zeros(n_features).at[idx].set(radius)
         if domain == "simplex":
             v = v / jnp.sum(v) * radius

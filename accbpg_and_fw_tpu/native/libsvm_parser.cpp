@@ -38,8 +38,12 @@ struct ParseResult {
 };
 
 // Parse the buffer [p, end).  Returns false and sets r.error on failure.
+// Every token in [p, end) must be followed by a terminator byte readable at
+// or before *end (a newline inside the buffer, or a NUL at end) — strtod /
+// strtoll scan past the token and the caller must guarantee that scan stays
+// in mapped memory (see parse_file_impl).  Appends to r; r.indptr must
+// already hold its leading 0.
 bool parse_buffer(const char* p, const char* end, ParseResult& r) {
-  r.indptr.push_back(0);
   while (p < end) {
     // find end of line, respecting '#' comments
     const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
@@ -127,7 +131,26 @@ ParseResult* parse_file_impl(const char* path, std::string& err) {
     return nullptr;
   }
   const char* p = static_cast<const char*>(map);
-  bool ok = parse_buffer(p, p + st.st_size, *r);
+  const char* end = p + st.st_size;
+  r->indptr.push_back(0);
+  // strtod/strtoll scan one byte past each token looking for a terminator;
+  // when the file lacks a trailing newline and exactly fills its last page,
+  // that scan would run off the mapping.  Parse the mmapped region only up
+  // to its last newline, and the remaining partial line from a
+  // NUL-terminated copy.
+  const char* last_nl =
+      static_cast<const char*>(memrchr(map, '\n', st.st_size));
+  bool ok;
+  if (last_nl == end - 1) {
+    ok = parse_buffer(p, end, *r);
+  } else {
+    const char* head_end = last_nl ? last_nl + 1 : p;
+    ok = parse_buffer(p, head_end, *r);
+    if (ok) {
+      std::string tail(head_end, end);  // data() is NUL-terminated (C++11)
+      ok = parse_buffer(tail.data(), tail.data() + tail.size(), *r);
+    }
+  }
   munmap(map, st.st_size);
   if (!ok) {
     err = r->error;

@@ -69,7 +69,6 @@ class BurgEntropyL1(BurgEntropy):
     """
 
     lamda: Any = 0.0
-    x_max: Any = 1e4
 
     def extra_psi(self, x):
         return self.lamda * jnp.sum(x)

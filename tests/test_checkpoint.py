@@ -59,6 +59,58 @@ def test_finished_run_checkpoint_returns_same(tmp_path):
     np.testing.assert_array_equal(r1[1], r2[1])
 
 
+def test_resume_with_larger_budget_non_chunk_multiple(tmp_path):
+    """Round-1 advisor finding: a maxitrs that is not a multiple of the chunk
+    left budget-masked iterations inside a saved chunk that were never re-run
+    on resume; progress is now tracked per iteration, so resume is exact."""
+    f, h, L, x0 = acc.D_opt_design(20, 60, randseed=4)
+    ck = str(tmp_path / "bpg.npz")
+
+    x_ref, F_ref, Ls_ref, T_ref = acc.BPG(f, h, L, x0, maxitrs=120,
+                                          verbose=False, chunk=40)
+
+    # 70 is NOT a multiple of chunk=40 — the old format silently returned
+    # the 70-iteration result on resume
+    acc.BPG(f, h, L, x0, maxitrs=70, verbose=False, chunk=40, checkpoint=ck)
+    x2, F2, Ls2, T2 = acc.BPG(f, h, L, x0, maxitrs=120, verbose=False,
+                              chunk=40, checkpoint=ck)
+
+    assert len(F2) == len(F_ref)
+    np.testing.assert_array_equal(np.asarray(F_ref), F2)
+    np.testing.assert_array_equal(np.asarray(x_ref), np.asarray(x2))
+
+
+def test_resume_with_different_chunk(tmp_path):
+    """Checkpoints are chunk-agnostic: resuming with another chunk size must
+    replay the correct global k values (the old whole-chunk format corrupted
+    k-dependent schedules)."""
+    f, h, L, x0 = acc.D_opt_design(15, 40, randseed=7)
+    lmo = acc.lmo_simplex(1)
+    ck = str(tmp_path / "fw.npz")
+
+    ref = acc.FW_alg_descent_step(f, h, x0, maxitrs=90, lmo=lmo,
+                                  verbose=False, chunk=30)
+    acc.FW_alg_descent_step(f, h, x0, maxitrs=45, lmo=lmo, verbose=False,
+                            chunk=30, checkpoint=ck)
+    out = acc.FW_alg_descent_step(f, h, x0, maxitrs=90, lmo=lmo,
+                                  verbose=False, chunk=17, checkpoint=ck)
+    # alpha_k = 2/(k+2) depends on the global k — any chunk-offset bug shifts
+    # the whole trajectory
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+
+
+def test_resume_refuses_wrong_solver(tmp_path):
+    import pytest
+
+    f, h, L, x0 = acc.D_opt_design(10, 30, randseed=4)
+    ck = str(tmp_path / "mix.npz")
+    acc.BPG(f, h, L, x0, maxitrs=40, verbose=False, chunk=20, checkpoint=ck)
+    with pytest.raises(ValueError, match="different solver"):
+        acc.ABPG(f, h, L, x0, gamma=2, maxitrs=40, verbose=False, chunk=20,
+                 checkpoint=ck)
+
+
 def test_executable_cache_reuse():
     """Same-shape solver calls reuse one compiled chunk executable."""
     from accbpg_and_fw_tpu.algorithms import driver

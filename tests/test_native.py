@@ -73,6 +73,28 @@ def test_native_speedup_on_larger_file(tmp_path):
     assert indptr[-1] == len(data) == 2000 * 20
 
 
+def test_no_trailing_newline_page_multiple(tmp_path):
+    """Round-1 advisor finding: a file whose size is an exact multiple of the
+    page size and whose last line ends mid-token made strtod scan past the
+    mmap.  The parser now NUL-terminates the trailing partial line."""
+    page = 4096
+    row = "1 1:0.5 2:-1.25\n"
+    tail = "-1 1:2.5 2:0.125"  # final line: no newline, ends mid-token
+    nrows = 100
+    fixed = len(row) * nrows + 1 + len(tail)  # +1: the filler comment's \n
+    total = -(-fixed // page) * page
+    content = row * nrows + "#" * (total - fixed) + "\n" + tail
+    assert len(content) % page == 0
+    p = tmp_path / "exact.libsvm"
+    p.write_bytes(content.encode())
+    out = _load_libsvm_native(str(p))
+    assert out is not None
+    data, indices, indptr, labels = out
+    assert len(labels) == nrows + 1
+    assert labels[-1] == -1
+    assert data[-1] == 0.125
+
+
 def test_d_opt_libsvm_end_to_end(tmp_path):
     """LIBSVM file -> native parse -> D-opt problem -> solver."""
     import accbpg_and_fw_tpu as acc

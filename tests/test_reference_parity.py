@@ -267,3 +267,59 @@ def test_fw_l0l1_log_only_golden():
     assert len(out_r[1]) == len(out_o[1])
     np.testing.assert_allclose(out_r[1], out_o[1], rtol=1e-7)
     assert int(out_r[3][-1]) == int(out_o[3][-1])
+
+
+def _load_ref_applications():
+    """Load the reference's applications module (needs a cvxpy import stub —
+    cvxpy is absent here and only used inside prox methods we don't call)."""
+    if "applications" in _REF_CACHE:
+        return _REF_CACHE["applications"]
+    saved = {k: sys.modules.get(k)
+             for k in ("cvxpy", "refaccbpg", "refaccbpg.utils",
+                       "refaccbpg.functions", "refaccbpg.applications")}
+    try:
+        sys.modules.setdefault("cvxpy", types.ModuleType("cvxpy"))
+        pkg = types.ModuleType("refaccbpg")
+        pkg.__path__ = [REF]
+        sys.modules["refaccbpg"] = pkg
+        for name in ("utils", "functions", "applications"):
+            spec = importlib.util.spec_from_file_location(
+                f"refaccbpg.{name}", os.path.join(REF, f"{name}.py"))
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[f"refaccbpg.{name}"] = mod
+            spec.loader.exec_module(mod)
+        app = sys.modules["refaccbpg.applications"]
+        _REF_CACHE["applications"] = app
+        return app
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_poisson_regr_simplex_seeded_bit_identical():
+    """All four scenarios must consume the global numpy RNG in the
+    reference's exact order (x0 drawn before solution — round-1 advisor
+    found ours swapped) so seeded instances are bit-identical."""
+    app = _load_ref_applications()
+
+    np.random.seed(123)
+    h_r, sc_r = app.Poisson_regr_simplex(6, 10)
+    np.random.seed(123)
+    h_o, sc_o = acc.Poisson_regr_simplex(6, 10)
+
+    assert sorted(sc_r.keys()) == sorted(sc_o.keys())
+    for place in sc_r:
+        f_r, L_r, sol_r, x0_r = sc_r[place]
+        f_o, L_o, sol_o, x0_o = sc_o[place]
+        np.testing.assert_array_equal(np.asarray(f_r.A), np.asarray(f_o.A),
+                                      err_msg=place)
+        np.testing.assert_array_equal(np.asarray(f_r.b), np.asarray(f_o.b),
+                                      err_msg=place)
+        np.testing.assert_array_equal(np.asarray(sol_r), np.asarray(sol_o),
+                                      err_msg=place)
+        np.testing.assert_array_equal(np.asarray(x0_r), np.asarray(x0_o),
+                                      err_msg=place)
+        assert L_r == L_o
