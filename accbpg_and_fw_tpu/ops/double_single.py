@@ -1,0 +1,193 @@
+"""Double-single (two-float32) arithmetic: ~f64 accuracy from f32 hardware.
+
+TPU compute units have no float64 path — XLA emulates f64 in software
+(~25x slower for matmuls, CLAUDE.md) and Pallas/Mosaic kernels cannot use
+f64 at all.  This module represents a value as an UNEVALUATED SUM of two
+float32s ``(hi, lo)`` with ``|lo| <= ulp(hi)/2``, giving ~49 bits of
+significand (~1e-14 relative) from pure f32 adds/multiplies, via the
+classic error-free transformations (Dekker 1971, Knuth TAOCP v2 §4.2.2,
+and the double-double arithmetic of Hida/Li/Bailey's QD library):
+
+* ``two_sum``   — exact rounding error of a f32 addition (6 flops);
+* ``split`` / ``two_prod`` — Veltkamp splitting + Dekker product: the
+  exact rounding error of a f32 multiplication without FMA (17 flops);
+* ``add/mul/div`` etc. compose these into renormalized (hi, lo) results.
+
+All functions are elementwise over arbitrary jnp array shapes and work
+both in XLA-land and inside Pallas kernel bodies (VPU only — no MXU, no
+transcendentals).  A DS number is a plain ``(hi, lo)`` tuple of same-shape
+f32 arrays.
+
+Correctness requires IEEE-754 round-to-nearest f32 add/mul and that the
+compiler does not algebraically rewrite the error terms.  XLA preserves
+float semantics (it may fuse ``a*b - p`` into an FMA, which makes the
+Dekker error MORE exact, never less).  Verified against f64 on CPU and on
+the TPU VPU by tests/test_double_single.py.
+
+No reference counterpart: the reference is f64 numpy throughout
+(/root/reference/accbpg/D_opt_alg.py operates on float64 arrays); this
+module is what lets the TPU build match that accuracy at f32 speed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_SPLIT = 4097.0  # 2^12 + 1: Veltkamp constant for float32 (24-bit mantissa)
+
+
+# -- error-free transformations (raw f32) -----------------------------------
+
+def two_sum(a, b):
+    """s + err == a + b exactly, s = fl(a + b) (Knuth)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def quick_two_sum(a, b):
+    """two_sum assuming |a| >= |b| (3 flops)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def split(a):
+    """a == hi + lo with hi, lo each fitting in 12 significand bits."""
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """p + err == a * b exactly, p = fl(a * b) (Dekker)."""
+    p = a * b
+    ahi, alo = split(a)
+    bhi, blo = split(b)
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+# -- DS constructors ---------------------------------------------------------
+
+def from_f32(a):
+    a = jnp.asarray(a, jnp.float32)
+    return a, jnp.zeros_like(a)
+
+
+def from_f64(a):
+    """Split a f64 array into a DS pair (exact to ~2^-49)."""
+    hi = jnp.asarray(a, jnp.float32)
+    lo = jnp.asarray(a - hi.astype(a.dtype), jnp.float32)
+    return hi, lo
+
+
+def to_f64(x):
+    return x[0].astype(jnp.float64) + x[1].astype(jnp.float64)
+
+
+# -- DS arithmetic -----------------------------------------------------------
+
+def neg(x):
+    return -x[0], -x[1]
+
+
+def add(x, y):
+    """DS + DS (accurate variant, QD ieee_add)."""
+    s1, s2 = two_sum(x[0], y[0])
+    t1, t2 = two_sum(x[1], y[1])
+    s2 = s2 + t1
+    s1, s2 = quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    return quick_two_sum(s1, s2)
+
+
+def add_f32(x, b):
+    """DS + f32."""
+    s1, s2 = two_sum(x[0], b)
+    s2 = s2 + x[1]
+    return quick_two_sum(s1, s2)
+
+
+def sub(x, y):
+    return add(x, neg(y))
+
+
+def mul(x, y):
+    """DS * DS."""
+    p1, p2 = two_prod(x[0], y[0])
+    p2 = p2 + (x[0] * y[1] + x[1] * y[0])
+    return quick_two_sum(p1, p2)
+
+
+def mul_f32(x, b):
+    """DS * f32."""
+    p1, p2 = two_prod(x[0], b)
+    p2 = p2 + x[1] * b
+    return quick_two_sum(p1, p2)
+
+
+def div(x, y):
+    """DS / DS (long division, 3 quotient terms)."""
+    q1 = x[0] / y[0]
+    r = sub(x, mul_f32(y, q1))
+    q2 = r[0] / y[0]
+    r = sub(r, mul_f32(y, q2))
+    q3 = r[0] / y[0]
+    q1, q2 = quick_two_sum(q1, q2)
+    return add((q1, q2), from_f32(q3))
+
+
+def sq(x):
+    """DS squared (slightly cheaper than mul(x, x))."""
+    p1, p2 = two_prod(x[0], x[0])
+    p2 = p2 + 2.0 * (x[0] * x[1])
+    return quick_two_sum(p1, p2)
+
+
+# -- reductions / selection --------------------------------------------------
+
+def sum_along(x, axis, keepdims=False):
+    """DS sum along an axis via pairwise halving of DS adds.
+
+    Summing hi and lo with jnp.sum would drop the error terms; folding
+    pairwise with DS adds keeps ~49-bit accuracy at O(log n) depth.  Uses
+    only slice/concat/elementwise ops so it lowers inside Pallas kernels.
+    """
+    from jax import lax as _lax
+
+    hi, lo = x
+    while hi.shape[axis] > 1:
+        m = hi.shape[axis]
+        half = m // 2
+        a = (_lax.slice_in_dim(hi, 0, half, axis=axis),
+             _lax.slice_in_dim(lo, 0, half, axis=axis))
+        b = (_lax.slice_in_dim(hi, half, 2 * half, axis=axis),
+             _lax.slice_in_dim(lo, half, 2 * half, axis=axis))
+        s = add(a, b)
+        if m % 2:
+            s = (jnp.concatenate(
+                    [s[0], _lax.slice_in_dim(hi, 2 * half, m, axis=axis)],
+                    axis=axis),
+                 jnp.concatenate(
+                    [s[1], _lax.slice_in_dim(lo, 2 * half, m, axis=axis)],
+                    axis=axis))
+        hi, lo = s
+    if not keepdims:
+        hi = jnp.squeeze(hi, axis)
+        lo = jnp.squeeze(lo, axis)
+    return hi, lo
+
+
+def where(pred, x, y):
+    return jnp.where(pred, x[0], y[0]), jnp.where(pred, x[1], y[1])
+
+
+def lt(x, y):
+    """DS < DS."""
+    return (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] < y[1]))
+
+
+def index(x, i):
+    return x[0][i], x[1][i]

@@ -1,0 +1,410 @@
+"""Whole-iteration fused Pallas kernel for D-optimal design Frank-Wolfe.
+
+THE latency problem this solves: every XLA op dispatch / reduction barrier
+on TPU costs ~27 us, so the scan-based D-opt drivers (algorithms/d_opt.py)
+are latency-bound below ~10^7-element problems — the reference's own
+flagship 30x1000 demo (0.4 s in numpy, ipynb/ABPGvsFW/ex_Dopt_ABPGvsFW.ipynb)
+ran FASTER in host numpy than on the TPU.  Here the ENTIRE Wolfe-Atwood
+iteration — argmax/argmin over w, the rank-1 H and w updates, the step-size
+arithmetic, the history writes — runs inside ONE Pallas kernel with all
+state resident in VMEM, for a whole chunk of iterations per kernel launch.
+Per-iteration cost drops from ~6 dispatch barriers to pure VPU arithmetic.
+
+Numerical precision: certifying slack 1e-8 needs ~1e-12-accurate w and x —
+beyond float32, and Mosaic has no f64.  All state (V, x, w, H, logdet) is
+kept in DOUBLE-SINGLE form (ops/double_single.py): pairs of f32 planes with
+~49-bit effective significand, every update an error-free-transformation
+composite.  Measured trajectory agreement vs the f64 scan path is at the
+1e-12 level (tests/test_pallas_dopt.py).
+
+Semantics match /root/reference/accbpg/D_opt_alg.py:91-185 (Wolfe-Atwood
+away-step FW) and :9-88 (Khachiyan FW), with this repo's documented
+deviations (algorithms/d_opt.py): log-space determinant tracking, the
+u[i] = w[i] consistency pin, and the away-branch logdet using w[j].
+
+Only single-instance, single-chip, n-in-VMEM problems (the design matrix
+DS pair must fit in ~12 MB of VMEM, i.e. m*n up to ~1.5M entries); larger
+problems use the scan engine with its sharded / mixed-precision paths.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import double_single as ds
+
+_BIG_F32 = 3.0e38
+_LANE = 128
+
+
+def _next_pow2(v: int) -> int:
+    p = 8
+    while p < v:
+        p *= 2
+    return p
+
+
+def _log1p_f32(x):
+    """f32 log1p with small-|x| series (Mosaic may lower log1p as
+    log(1+x), which loses all accuracy for |x| ~ 1e-9 step sizes)."""
+    small = jnp.abs(x) < 1.0e-3
+    series = x * (1.0 - x * (0.5 - x * (1.0 / 3.0)))
+    safe = jnp.where(small, 0.0, x)
+    return jnp.where(small, series, jnp.log(1.0 + safe))
+
+
+def _ds_reciprocal(y):
+    """DS reciprocal of a DS scalar."""
+    return ds.div((jnp.float32(1.0), jnp.float32(0.0)), y)
+
+
+def _fw_kernel_body(m, MP, NP, K, away,
+                    scal_ref, Vh_ref, Vl_ref,
+                    xh_ref, xl_ref, wh_ref, wl_ref, Hh_ref, Hl_ref,
+                    misc_ref,
+                    xh_o, xl_o, wh_o, wl_o, Hh_o, Hl_o, misc_o,
+                    F_ref, SP_ref, SN_ref):
+    eps = scal_ref[0]
+    xtol = scal_ref[1]
+    kmax = scal_ref[2]  # dynamic iteration budget for this launch (<= K)
+
+    Vh = Vh_ref[:]
+    Vl = Vl_ref[:]
+    V = (Vh, Vl)
+    lane = lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+    laneK = lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    rr = lax.broadcasted_iota(jnp.int32, (MP, MP), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (MP, MP), 1)
+    diag = rr == cc
+    m_f = jnp.float32(m)
+
+    def body(state):
+        (k, done, xh, xl, wh, wl, Hh, Hl, ldh, ldl, Fb, SPb, SNb) = state
+        x = (xh, xl)
+        w = (wh, wl)
+        H = (Hh, Hl)
+
+        # ---- toward candidate: DS argmax of w (hi plane, lo tie-break) ----
+        wmax_hi = jnp.max(wh)
+        cand = wh == wmax_hi
+        wmax_lo = jnp.max(jnp.where(cand, wl, -_BIG_F32))
+        cand2 = cand & (wl == wmax_lo)
+        i = jnp.min(jnp.where(cand2, lane, NP + 1))
+        wi = (wmax_hi, wmax_lo)
+
+        # ---- away candidate: argmin over support of ww = w - wi ----------
+        # (reference tie-break: first min index of ww * (x > 1e-8),
+        #  D_opt_alg.py:146-148; masked-out entries sit at 0 = max(ww))
+        if away:
+            mask = xh > xtol
+            wwh, wwl = ds.sub(w, wi)
+            mwh = jnp.where(mask, wwh, 0.0)
+            mwl = jnp.where(mask, wwl, 0.0)
+            mmin_hi = jnp.min(mwh)
+            candj = mwh == mmin_hi
+            mmin_lo = jnp.min(jnp.where(candj, mwl, _BIG_F32))
+            candj2 = candj & (mwl == mmin_lo)
+            j = jnp.min(jnp.where(candj2, lane, NP + 1))
+            jmask = lane == j
+            wj = (jnp.sum(jnp.where(jmask, wh, 0.0)),
+                  jnp.sum(jnp.where(jmask, wl, 0.0)))
+        else:
+            # plain FW reports min over support for SN but always steps toward
+            mask = xh > 0.0
+            wmin_hi = jnp.min(jnp.where(mask, wh, _BIG_F32))
+            candj = mask & (wh == wmin_hi)
+            wmin_lo = jnp.min(jnp.where(candj, wl, _BIG_F32))
+            wj = (wmin_hi, wmin_lo)
+            j = i  # unused
+            jmask = lane == j
+
+        # ---- slacks + history row ----------------------------------------
+        minv = (jnp.float32(m_f), jnp.float32(0.0))
+        sp_ds = ds.div(ds.add_f32(wi, -m_f), minv)          # wi/m - 1
+        sn_ds = ds.div(ds.add_f32(ds.neg(wj), m_f), minv)   # 1 - wj/m
+        sp = sp_ds[0] + sp_ds[1]
+        sn = sn_ds[0] + sn_ds[1]
+        Fk = -(ldh + ldl)
+
+        krow = laneK == k
+        Fb = jnp.where(krow, Fk, Fb)
+        SPb = jnp.where(krow, sp, SPb)
+        SNb = jnp.where(krow, sn, SNb)
+
+        stop = (sp <= eps) & (sn <= eps)
+
+        # ---- unified toward/away step ------------------------------------
+        # toward: tau = +t_t;  away: tau = -t_a.  Then for v in {i, j}:
+        #   c      = tau / (1 + tau*(w_v - 1))
+        #   H     <- (H - c * HVv HVv^T) / (1 - tau)
+        #   w     <- (w - c * (HVv^T V)^2) / (1 - tau)
+        #   x     <- x*(1 - tau), x_v += tau
+        #   logdet += (m-1)*log1p(-tau) + log1p(tau*(w_v - 1))
+        # which reproduces both branches of D_opt_alg.py:162-179 exactly.
+        t_t = ds.div(sp_ds, ds.add_f32(wi, -1.0))
+        if away:
+            xj = (jnp.sum(jnp.where(jmask, xh, 0.0)),
+                  jnp.sum(jnp.where(jmask, xl, 0.0)))
+            a1 = ds.div(sn_ds, ds.add_f32(wj, -1.0))
+            a2 = ds.div(xj, ds.add_f32(ds.neg(xj), 1.0))
+            # select-min lands on a2 if a1 is inf/nan (w_j == 1 divide)
+            t_a = ds.where(ds.lt(a1, a2), a1, a2)
+            toward = sp >= sn
+            v_idx = jnp.where(toward, i, j)
+            wv = ds.where(toward, wi, wj)
+            tau = ds.where(toward, t_t, ds.neg(t_a))
+        else:
+            v_idx = i
+            wv = wi
+            tau = t_t
+
+        wv_m1 = ds.add_f32(wv, -1.0)
+        c_ = ds.div(tau, ds.add_f32(ds.mul(tau, wv_m1), 1.0))
+        one_m_tau = ds.add_f32(ds.neg(tau), 1.0)
+        r_tau = _ds_reciprocal(one_m_tau)
+
+        vmask = lane == v_idx
+        # V[:, v] as a (MP, 1) DS column (mask-reduce: exact, transposeless)
+        Vi = (jnp.sum(jnp.where(vmask, Vh, 0.0), axis=1, keepdims=True),
+              jnp.sum(jnp.where(vmask, Vl, 0.0), axis=1, keepdims=True))
+        # HVi as a (1, MP) row: sum over sublanes of H[r,c] * Vi[r]
+        # (H is symmetric, so Vi^T H == (H Vi)^T)
+        HVi_row = ds.sum_along(ds.mul(H, Vi), 0, keepdims=True)
+        # transpose to a (MP, 1) column via the diagonal-mask trick
+        HVi_col = (
+            jnp.sum(jnp.where(diag, jnp.broadcast_to(HVi_row[0], (MP, MP)), 0.0),
+                    axis=1, keepdims=True),
+            jnp.sum(jnp.where(diag, jnp.broadcast_to(HVi_row[1], (MP, MP)), 0.0),
+                    axis=1, keepdims=True),
+        )
+
+        # u = (H Vv)^T V, pinned so u[v] == w[v] exactly (d_opt.py:108-114)
+        u = ds.sum_along(ds.mul(HVi_col, V), 0, keepdims=True)
+        u = ds.where(vmask, wv, u)
+
+        w_new = ds.mul(ds.sub(w, ds.mul(c_, ds.sq(u))), r_tau)
+        outer = ds.mul(HVi_col, HVi_row)
+        H_new = ds.mul(ds.sub(H, ds.mul(c_, outer)), r_tau)
+        xs = ds.mul(x, one_m_tau)
+        x_new = ds.where(vmask, ds.add(xs, tau), xs)
+
+        tau_f = tau[0] + tau[1]
+        twv = ds.mul(tau, wv_m1)
+        inc = (m_f - 1.0) * _log1p_f32(-tau_f) + _log1p_f32(twv[0] + twv[1])
+        ldh_new, ldl_new = ds.add_f32((ldh, ldl), inc)
+
+        # freeze when the stop criterion fired (the reference breaks BEFORE
+        # applying the update, D_opt_alg.py:159-160)
+        run = jnp.logical_not(stop | done)
+
+        def sel(new, old):
+            return jnp.where(run, new, old)
+
+        return (k + 1, done | stop,
+                sel(x_new[0], xh), sel(x_new[1], xl),
+                sel(w_new[0], wh), sel(w_new[1], wl),
+                sel(H_new[0], Hh), sel(H_new[1], Hl),
+                sel(ldh_new, ldh), sel(ldl_new, ldl),
+                Fb, SPb, SNb)
+
+    def cond(state):
+        k, done = state[0], state[1]
+        return (k < jnp.minimum(jnp.int32(K), kmax.astype(jnp.int32))) & jnp.logical_not(done)
+
+    zero_hist = jnp.zeros((1, K), jnp.float32)
+    init = (jnp.int32(0), misc_ref[2] > 0.5,
+            xh_ref[:], xl_ref[:], wh_ref[:], wl_ref[:],
+            Hh_ref[:], Hl_ref[:], misc_ref[0], misc_ref[1],
+            zero_hist, zero_hist, zero_hist)
+    out = lax.while_loop(cond, body, init)
+    (k, done, xh, xl, wh, wl, Hh, Hl, ldh, ldl, Fb, SPb, SNb) = out
+
+    xh_o[:] = xh
+    xl_o[:] = xl
+    wh_o[:] = wh
+    wl_o[:] = wl
+    Hh_o[:] = Hh
+    Hl_o[:] = Hl
+    misc_o[0] = ldh
+    misc_o[1] = ldl
+    misc_o[2] = jnp.where(done, jnp.float32(1.0), jnp.float32(0.0))
+    misc_o[3] = k.astype(jnp.float32)
+    F_ref[:] = Fb
+    SP_ref[:] = SPb
+    SN_ref[:] = SNb
+
+
+@functools.lru_cache(maxsize=64)
+def _build_chunk_fn(m, MP, NP, K, away, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_fw_kernel_body, m, MP, NP, K, away)
+    f32 = jnp.float32
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, NP), f32),   # xh
+            jax.ShapeDtypeStruct((1, NP), f32),   # xl
+            jax.ShapeDtypeStruct((1, NP), f32),   # wh
+            jax.ShapeDtypeStruct((1, NP), f32),   # wl
+            jax.ShapeDtypeStruct((MP, MP), f32),  # Hh
+            jax.ShapeDtypeStruct((MP, MP), f32),  # Hl
+            jax.ShapeDtypeStruct((4,), f32),      # misc: ld_hi, ld_lo, done, niter
+            jax.ShapeDtypeStruct((1, K), f32),    # F
+            jax.ShapeDtypeStruct((1, K), f32),    # SP
+            jax.ShapeDtypeStruct((1, K), f32),    # SN
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (eps, xtol, kmax)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Vh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Vl
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xl
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wl
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Hh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Hl
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # misc
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+def _pad2(a, shape):
+    out = np.zeros(shape, np.float64)
+    out[tuple(slice(0, s) for s in a.shape)] = a
+    return out
+
+
+def _split64(a):
+    hi = np.asarray(a, np.float32)
+    lo = np.asarray(a - hi.astype(np.float64), np.float32)
+    return hi, lo
+
+
+def _factorize_np(V64, x64):
+    """Fresh (H, w, logdet) in host float64 (cf. d_opt._dopt_factorize)."""
+    m = V64.shape[0]
+    VXVT = (V64 * x64) @ V64.T
+    L = np.linalg.cholesky(VXVT)
+    logdet = 2.0 * np.sum(np.log(np.diag(L)))
+    Linv = np.linalg.solve(L, np.eye(m))
+    H = Linv.T @ Linv
+    W = Linv @ V64
+    w = np.einsum("ij,ij->j", W, W)
+    return H, w, logdet
+
+
+def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
+                   chunk=None, refresh_every=0, interpret=False):
+    """D-opt Frank-Wolfe(-away) with the whole iteration fused in one Pallas
+    kernel (double-single precision).  Same contract as D_opt_FW_away:
+    returns ``(x, F, SP, SN, T)`` truncated at the stopping iteration.
+
+    ``refresh_every``: re-factorize (H, w, logdet) in host float64 every R
+    iterations (at chunk boundaries) — belt-and-braces against DS drift on
+    very long runs; the DS updates alone hold ~1e-12.
+    ``interpret``: run the kernel in the Pallas interpreter (CPU testing).
+    """
+    V64 = np.asarray(V, np.float64)
+    m, n = V64.shape
+    x64 = np.asarray(x0, np.float64)
+    if chunk is None:
+        chunk = 2048
+    MP = _next_pow2(max(m, 8))
+    NP = -(-n // _LANE) * _LANE
+    K = int(chunk)
+
+    Vp = _pad2(V64, (MP, NP))
+    Vh, Vl = _split64(Vp)
+    H, w, logdet = _factorize_np(V64, x64)
+    state = {
+        "x": _split64(_pad2(x64[None, :], (1, NP))),
+        "w": _split64(_pad2(w[None, :], (1, NP))),
+        "H": _split64(_pad2(H, (MP, MP))),
+        "ld": logdet,
+        "done": 0.0,
+    }
+
+    fn = _build_chunk_fn(m, MP, NP, K, bool(away), bool(interpret))
+    scal = np.array([eps, 1.0e-8, 0.0], np.float32)
+
+    if verbose:
+        name = ("Frank-Wolfe method with away steps" if away
+                else "Frank-Wolfe method")
+        print(f"\nSolving D-opt design problem using {name} "
+              "(fused pallas kernel)")
+        print("     k      F(x)     pos_slack   neg_slack    time")
+
+    F_parts, SP_parts, SN_parts, T_parts = [], [], [], []
+    t0 = time.time()
+    k_done = 0
+    since_refresh = 0
+    while k_done < maxitrs:
+        scal[2] = min(K, maxitrs - k_done)
+        out = fn(jnp.asarray(scal), Vh, Vl,
+                 state["x"][0], state["x"][1], state["w"][0], state["w"][1],
+                 state["H"][0], state["H"][1],
+                 jnp.asarray(np.array([state["ld"], 0.0, state["done"], 0.0],
+                                      np.float32)))
+        out = [np.asarray(o) for o in jax.block_until_ready(out)]
+        (xh, xl, wh, wl, Hh, Hl, misc, Fb, SPb, SNb) = out
+        t_b = time.time() - t0
+        nv = int(misc[3])
+        t_a = T_parts[-1][-1] if T_parts and len(T_parts[-1]) else 0.0
+        F_parts.append(Fb[0, :nv])
+        SP_parts.append(SPb[0, :nv])
+        SN_parts.append(SNb[0, :nv])
+        T_parts.append(t_a + (t_b - t_a) * (np.arange(nv) + 1) / max(nv, 1))
+
+        if verbose:
+            for jrow in range(nv):
+                kk = k_done + jrow
+                if kk % verbskip == 0:
+                    print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:6.1f}"
+                          .format(kk, F_parts[-1][jrow], SP_parts[-1][jrow],
+                                  SN_parts[-1][jrow], T_parts[-1][jrow]))
+
+        state = {"x": (xh, xl), "w": (wh, wl), "H": (Hh, Hl),
+                 "ld": float(misc[0]) + float(misc[1]), "done": float(misc[2])}
+        k_done += nv
+        since_refresh += nv
+        if misc[2] > 0.5 or nv == 0:
+            break
+        if refresh_every and since_refresh >= refresh_every:
+            x64c = (xh[0, :n].astype(np.float64)
+                    + xl[0, :n].astype(np.float64))
+            H, w, logdet = _factorize_np(V64, x64c)
+            state["w"] = _split64(_pad2(w[None, :], (1, NP)))
+            state["H"] = _split64(_pad2(H, (MP, MP)))
+            state["ld"] = logdet
+            since_refresh = 0
+
+    x_out = (state["x"][0][0, :n].astype(np.float64)
+             + state["x"][1][0, :n].astype(np.float64))
+    F = np.concatenate(F_parts) if F_parts else np.zeros(0)
+    SP = np.concatenate(SP_parts) if SP_parts else np.zeros(0)
+    SN = np.concatenate(SN_parts) if SN_parts else np.zeros(0)
+    T = np.concatenate(T_parts) if T_parts else np.zeros(0)
+    return x_out, F, SP, SN, T
