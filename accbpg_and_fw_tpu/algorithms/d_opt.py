@@ -77,6 +77,10 @@ class _DOptCfg:
         return (isinstance(other, _DOptCfg) and self.away == other.away
                 and self.mixed == other.mixed)
 
+    def __repr__(self):
+        # stable across processes: keys the driver's persistent AOT cache
+        return f"_DOptCfg(away={self.away}, mixed={self.mixed})"
+
 
 def _dopt_u(cfg, prob, hv):
     if cfg.mixed:

@@ -58,6 +58,9 @@ _EXEC_CACHE: dict = {}
 
 _CKPT_VERSION = 2
 
+_AOT_DIR_ENV = "ACCBPG_AOT_CACHE"  # "" -> default dir, "0" -> disabled
+_AOT_WARNED = [False]
+
 
 def _aval_key(tree):
     return tuple(
@@ -66,35 +69,141 @@ def _aval_key(tree):
     ) + (jax.tree_util.tree_structure(tree),)
 
 
+def _aot_dir():
+    import os
+
+    v = os.environ.get(_AOT_DIR_ENV, "")
+    if v == "0":
+        return None
+    if v:
+        return v
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "accbpg_and_fw_tpu", "aot")
+
+
+def _stable_cfg_repr(cfg):
+    """repr(cfg) if it is stable across processes (no object addresses /
+    closures — e.g. LMO-carrying FW configs are process-local)."""
+    r = repr(cfg)
+    return None if "0x" in r else r
+
+
+def _aot_key(step, cfg, chunk, problem, carry):
+    """Content hash identifying a compiled chunk across processes."""
+    import hashlib
+
+    cfgr = _stable_cfg_repr(cfg)
+    if cfgr is None:
+        return None
+    if len(jax.devices()) != 1:
+        # deserialized executables do not re-shard uncommitted args under
+        # multiple visible devices (execute_sharded shard-count mismatch);
+        # the compile tax this cache targets is the single-chip TPU case
+        return None
+    if jax.default_backend() != "tpu":
+        # XLA:CPU AOT deserialization SIGSEGVs cross-process on this host
+        # (machine-feature mismatch in the AOT loader); CPU compiles are
+        # seconds anyway — the 20-60 s tax being killed is the REMOTE TPU
+        # compile, so the disk cache is TPU-only
+        return None
+    try:
+        dev = jax.devices()[0]
+        ident = "|".join(map(str, (
+            jax.__version__, jax.default_backend(),
+            getattr(dev, "device_kind", dev),
+            bool(jax.config.jax_enable_x64),
+            f"{step.__module__}.{step.__qualname__}", cfgr, chunk,
+            _aval_key(problem), _aval_key(carry),
+        )))
+    except Exception:
+        return None
+    return hashlib.sha256(ident.encode()).hexdigest()
+
+
+def _aot_load(path):
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fh:
+        payload, in_tree, out_tree = pickle.load(fh)
+    return se.deserialize_and_load(payload, in_tree, out_tree)
+
+
+def _aot_save(path, exe):
+    import os
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        pickle.dump(se.serialize(exe), fh)
+    os.replace(tmp, path)
+
+
 def _get_compiled_chunk(step, cfg, chunk, problem, carry):
-    """Compiled scan-chunk executable, cached across driver invocations."""
+    """Compiled scan-chunk executable, cached across driver invocations —
+    in memory within a process, and (for configs with a stable identity) as
+    serialized AOT executables on disk across processes.
+
+    The disk cache kills the per-process compile tax: a fresh ``python``
+    invocation of a previously-run (algorithm, shapes) solve deserializes
+    the executable in ~100 ms instead of re-tracing + (remote-)compiling
+    for 20-60 s.  Set ``ACCBPG_AOT_CACHE=0`` to disable, or point it at an
+    alternate cache directory."""
     key = (step, cfg, chunk, _aval_key(problem), _aval_key(carry))
-    if key not in _EXEC_CACHE:
-        def run(problem, carry, k0, maxitrs):
-            def body(c, k):
-                # freeze past the stop flag OR past the iteration budget; only
-                # the true stop criterion persists into the carry (a budget
-                # freeze must not poison checkpoints resumed with more budget)
-                frozen = c["done"] | (k >= maxitrs)
-                c2, h = step(cfg, problem, c, k)
-                h = dict(h)
-                h["_valid"] = jnp.logical_not(frozen)
-                c2 = dict(c2)
-                c2["done"] = c["done"] | c2["done"] | h["_stop"]
-                out = jax.tree_util.tree_map(
-                    lambda old, new: jnp.where(frozen, old, new), c, c2
-                )
-                return out, h
+    if key in _EXEC_CACHE:
+        return _EXEC_CACHE[key]
 
-            ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
-            return lax.scan(body, carry, ks)
+    import os
+    import warnings
 
-        _EXEC_CACHE[key] = (
-            jax.jit(run)
-            .lower(problem, carry, jnp.int32(0), jnp.int32(1))
-            .compile()
-        )
-    return _EXEC_CACHE[key]
+    adir = _aot_dir()
+    hkey = _aot_key(step, cfg, chunk, problem, carry) if adir else None
+    path = os.path.join(adir, hkey + ".jaxexe") if hkey else None
+    if path and os.path.exists(path):
+        try:
+            exe = _aot_load(path)
+            _EXEC_CACHE[key] = exe
+            return exe
+        except Exception as e:  # stale/corrupt/incompatible -> recompile
+            if not _AOT_WARNED[0]:
+                _AOT_WARNED[0] = True
+                warnings.warn(f"AOT cache load failed ({e!r}); recompiling")
+
+    def run(problem, carry, k0, maxitrs):
+        def body(c, k):
+            # freeze past the stop flag OR past the iteration budget; only
+            # the true stop criterion persists into the carry (a budget
+            # freeze must not poison checkpoints resumed with more budget)
+            frozen = c["done"] | (k >= maxitrs)
+            c2, h = step(cfg, problem, c, k)
+            h = dict(h)
+            h["_valid"] = jnp.logical_not(frozen)
+            c2 = dict(c2)
+            c2["done"] = c["done"] | c2["done"] | h["_stop"]
+            out = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(frozen, old, new), c, c2
+            )
+            return out, h
+
+        ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
+        return lax.scan(body, carry, ks)
+
+    exe = (jax.jit(run)
+           .lower(problem, carry, jnp.int32(0), jnp.int32(1))
+           .compile())
+    _EXEC_CACHE[key] = exe
+    if path:
+        try:
+            _aot_save(path, exe)
+        except Exception as e:
+            if not _AOT_WARNED[0]:
+                _AOT_WARNED[0] = True
+                warnings.warn(f"AOT cache save failed ({e!r})")
+    return exe
 
 
 def _wrap_step(step):

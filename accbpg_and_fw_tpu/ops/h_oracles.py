@@ -50,7 +50,14 @@ class BurgEntropy(LegendreOracle):
 
     def divergence(self, x, y):
         r = x / y
-        return jnp.sum(r - jnp.log(r) - 1.0)
+        t = r - jnp.log(r) - 1.0
+        # x==y==0 coordinates are structurally absent (zero-padded design
+        # columns for even device sharding, parallel/mesh.py): their
+        # divergence contribution is lim_{x->0} 0, not 0/0 = NaN.  Genuine
+        # domain violations (x==0, y>0 or vice versa) still produce inf/NaN
+        # and fail line searches, as documented.
+        t = jnp.where((x == 0) & (y == 0), jnp.zeros_like(t), t)
+        return jnp.sum(t)
 
     def prox_map(self, g, L):
         # argmin_{x>0} <g,x> - L*sum log x  =>  x = L/g  (needs g > 0)

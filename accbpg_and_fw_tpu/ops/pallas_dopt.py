@@ -43,6 +43,12 @@ from . import double_single as ds
 _BIG_F32 = 3.0e38
 _LANE = 128
 
+# development aid: names of kernel-body stages to skip when profiling
+# ("select", "scalars", "extract", "contract", "updates", "hist");
+# clear _build_chunk_fn.cache_clear() after changing.  Never set in
+# production paths.
+_ABLATE: frozenset = frozenset()
+
 
 def _next_pow2(v: int) -> int:
     p = 8
@@ -65,7 +71,53 @@ def _ds_reciprocal(y):
     return ds.div((jnp.float32(1.0), jnp.float32(0.0)), y)
 
 
-def _fw_kernel_body(m, MP, NP, K, away,
+def _extract_lane_block(idx, interpret):
+    """Column ``idx`` of a (rows, NP) VMEM ref as a (rows, 1) value.
+
+    Mosaic only allows dynamic lane offsets that are provably 128-aligned,
+    so read the aligned 128-lane block containing the column and mask-reduce
+    within it — touching 128 lanes instead of all NP."""
+    from jax.experimental import pallas as pl
+
+    blk = (idx // _LANE) * _LANE
+    if not interpret:
+        blk = pl.multiple_of(blk, _LANE)
+    off = lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    msk = off == (idx - blk)
+
+    def one(ref):
+        block = ref[:, pl.ds(blk, _LANE)]
+        return jnp.sum(jnp.where(msk, block, 0.0), axis=1, keepdims=True)
+
+    return one
+
+
+def _ds_allreduce_sub(x, MP, interpret):
+    """Butterfly all-reduce of a DS array along the SUBLANE axis (axis 0):
+    after log2(MP) roll+add rounds every row holds the column sum.
+
+    Full-tile cyclic rolls + elementwise DS adds only — no sub-tile sublane
+    slicing, which Mosaic lowers as expensive relayouts (the first kernel
+    version spent most of its 164 us/iteration there)."""
+    import jax.numpy as jnp_  # noqa: F401
+
+    hi, lo = x
+    s = MP // 2
+    while s >= 1:
+        if interpret:
+            rhi = jnp.roll(hi, s, axis=0)
+            rlo = jnp.roll(lo, s, axis=0)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            rhi = pltpu.roll(hi, s, 0)
+            rlo = pltpu.roll(lo, s, 0)
+        hi, lo = ds.add((hi, lo), (rhi, rlo))
+        s //= 2
+    return hi, lo
+
+
+def _fw_kernel_body(m, MP, NP, K, away, interpret,
                     scal_ref, Vh_ref, Vl_ref,
                     xh_ref, xl_ref, wh_ref, wl_ref, Hh_ref, Hl_ref,
                     misc_ref,
@@ -85,11 +137,22 @@ def _fw_kernel_body(m, MP, NP, K, away,
     diag = rr == cc
     m_f = jnp.float32(m)
 
+    A = _ABLATE
+
     def body(state):
         (k, done, xh, xl, wh, wl, Hh, Hl, ldh, ldl, Fb, SPb, SNb) = state
         x = (xh, xl)
         w = (wh, wl)
         H = (Hh, Hl)
+        kf32 = k.astype(jnp.float32)
+
+        if "select" in A:
+            i = k % jnp.int32(NP)
+            j = i
+            wi = (m_f + 1.0e-7 * kf32, jnp.float32(0.0))
+            wj = (m_f - 1.0e-7 * kf32, jnp.float32(0.0))
+            return _ablated_rest(A, k, done, x, w, H, ldh, ldl, Fb, SPb, SNb,
+                                 i, j, wi, wj)
 
         # ---- toward candidate: DS argmax of w (hi plane, lo tie-break) ----
         wmax_hi = jnp.max(wh)
@@ -112,9 +175,9 @@ def _fw_kernel_body(m, MP, NP, K, away,
             mmin_lo = jnp.min(jnp.where(candj, mwl, _BIG_F32))
             candj2 = candj & (mwl == mmin_lo)
             j = jnp.min(jnp.where(candj2, lane, NP + 1))
-            jmask = lane == j
-            wj = (jnp.sum(jnp.where(jmask, wh, 0.0)),
-                  jnp.sum(jnp.where(jmask, wl, 0.0)))
+            # w_j = ww_j + w_i arithmetically (no lane extraction needed;
+            # the 2^-49 DS rounding is far below anything that matters)
+            wj = ds.add((mmin_hi, mmin_lo), wi)
         else:
             # plain FW reports min over support for SN but always steps toward
             mask = xh > 0.0
@@ -123,8 +186,15 @@ def _fw_kernel_body(m, MP, NP, K, away,
             wmin_lo = jnp.min(jnp.where(candj, wl, _BIG_F32))
             wj = (wmin_hi, wmin_lo)
             j = i  # unused
-            jmask = lane == j
 
+        return _ablated_rest(A, k, done, x, w, H, ldh, ldl, Fb, SPb, SNb,
+                             i, j, wi, wj)
+
+    def _ablated_rest(A, k, done, x, w, H, ldh, ldl, Fb, SPb, SNb,
+                      i, j, wi, wj):
+        (xh, xl), (wh, wl) = x, w
+        Hh, Hl = H
+        kf32 = k.astype(jnp.float32)
         # ---- slacks + history row ----------------------------------------
         minv = (jnp.float32(m_f), jnp.float32(0.0))
         sp_ds = ds.div(ds.add_f32(wi, -m_f), minv)          # wi/m - 1
@@ -133,10 +203,11 @@ def _fw_kernel_body(m, MP, NP, K, away,
         sn = sn_ds[0] + sn_ds[1]
         Fk = -(ldh + ldl)
 
-        krow = laneK == k
-        Fb = jnp.where(krow, Fk, Fb)
-        SPb = jnp.where(krow, sp, SPb)
-        SNb = jnp.where(krow, sn, SNb)
+        if "hist" not in A:
+            krow = laneK == k
+            Fb = jnp.where(krow, Fk, Fb)
+            SPb = jnp.where(krow, sp, SPb)
+            SNb = jnp.where(krow, sn, SNb)
 
         stop = (sp <= eps) & (sn <= eps)
 
@@ -149,7 +220,12 @@ def _fw_kernel_body(m, MP, NP, K, away,
         #   logdet += (m-1)*log1p(-tau) + log1p(tau*(w_v - 1))
         # which reproduces both branches of D_opt_alg.py:162-179 exactly.
         t_t = ds.div(sp_ds, ds.add_f32(wi, -1.0))
-        if away:
+        if "scalars" in A:
+            v_idx = i
+            wv = wi
+            tau = (1.0e-7 + 1.0e-12 * kf32, jnp.float32(0.0))
+        elif away:
+            jmask = lane == j
             xj = (jnp.sum(jnp.where(jmask, xh, 0.0)),
                   jnp.sum(jnp.where(jmask, xl, 0.0)))
             a1 = ds.div(sn_ds, ds.add_f32(wj, -1.0))
@@ -171,23 +247,29 @@ def _fw_kernel_body(m, MP, NP, K, away,
         r_tau = _ds_reciprocal(one_m_tau)
 
         vmask = lane == v_idx
-        # V[:, v] as a (MP, 1) DS column (mask-reduce: exact, transposeless)
-        Vi = (jnp.sum(jnp.where(vmask, Vh, 0.0), axis=1, keepdims=True),
-              jnp.sum(jnp.where(vmask, Vl, 0.0), axis=1, keepdims=True))
-        # HVi as a (1, MP) row: sum over sublanes of H[r,c] * Vi[r]
-        # (H is symmetric, so Vi^T H == (H Vi)^T)
-        HVi_row = ds.sum_along(ds.mul(H, Vi), 0, keepdims=True)
-        # transpose to a (MP, 1) column via the diagonal-mask trick
-        HVi_col = (
-            jnp.sum(jnp.where(diag, jnp.broadcast_to(HVi_row[0], (MP, MP)), 0.0),
-                    axis=1, keepdims=True),
-            jnp.sum(jnp.where(diag, jnp.broadcast_to(HVi_row[1], (MP, MP)), 0.0),
-                    axis=1, keepdims=True),
-        )
+        if "extract" in A:
+            Vi = (Vh[:, 0:1] + 1.0e-9 * kf32, Vl[:, 0:1])
+        else:
+            # V[:, v] as a (MP, 1) DS column: read the 128-aligned lane
+            # block containing it (Mosaic only allows 128-multiple dynamic
+            # lane offsets) and mask-reduce within the block
+            vext = _extract_lane_block(v_idx, interpret)
+            Vi = (vext(Vh_ref), vext(Vl_ref))
+        # R: every row holds (H Vv)^T — butterfly all-reduce over sublanes of
+        # H[r,c] * Vi[r] (H is symmetric, so Vi^T H == (H Vi)^T)
+        R = _ds_allreduce_sub(ds.mul(H, Vi), MP, interpret)
+        HVi_row = (R[0][0:1, :], R[1][0:1, :])
+        # column form via the diagonal mask (R[r, r] == HVi[r])
+        HVi_col = (jnp.sum(jnp.where(diag, R[0], 0.0), axis=1, keepdims=True),
+                   jnp.sum(jnp.where(diag, R[1], 0.0), axis=1, keepdims=True))
 
         # u = (H Vv)^T V, pinned so u[v] == w[v] exactly (d_opt.py:108-114)
-        u = ds.sum_along(ds.mul(HVi_col, V), 0, keepdims=True)
-        u = ds.where(vmask, wv, u)
+        if "contract" in A:
+            u = ds.mul_f32(w, jnp.float32(0.5))
+        else:
+            u_full = _ds_allreduce_sub(ds.mul(HVi_col, V), MP, interpret)
+            u = (u_full[0][0:1, :], u_full[1][0:1, :])
+            u = ds.where(vmask, wv, u)
 
         w_new = ds.mul(ds.sub(w, ds.mul(c_, ds.sq(u))), r_tau)
         outer = ds.mul(HVi_col, HVi_row)
@@ -246,7 +328,7 @@ def _build_chunk_fn(m, MP, NP, K, away, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_fw_kernel_body, m, MP, NP, K, away)
+    kernel = functools.partial(_fw_kernel_body, m, MP, NP, K, away, interpret)
     f32 = jnp.float32
     call = pl.pallas_call(
         kernel,

@@ -9,6 +9,7 @@ arg-reduction collectives automatically under jit.
 from .mesh import (
     data_mesh,
     distributed_init,
+    shard_dopt_design,
     shard_dopt_problem,
     shard_regression_problem,
 )
@@ -17,6 +18,7 @@ from .batched import vmap_solver
 __all__ = [
     "data_mesh",
     "distributed_init",
+    "shard_dopt_design",
     "shard_dopt_problem",
     "shard_regression_problem",
     "vmap_solver",

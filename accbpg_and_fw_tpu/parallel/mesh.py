@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..struct import replace
@@ -49,19 +50,61 @@ def data_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_dopt_problem(f, x0, mesh: Mesh, axis_name: str = "data"):
+def _pad_cols(H, x0, ndev):
+    """Zero-pad design columns (and x entries) to a device-count multiple.
+
+    Exactness: a zero column v = 0 with weight x = 0 contributes nothing to
+    V diag(x) V^T, has gradient/w entry exactly 0, is never selected by the
+    FW argmax (max w >= m >= 1 > 0) nor by the away argmin (masked on
+    x > 1e-8), and x = 0 is a fixed point of every update (x * (1 -+ t)
+    keeps 0; the Burg div_prox_map maps y = 0 to g + L/0 = inf and
+    1/(inf + c) = 0).  So the padded problem's trajectory restricted to the
+    first n coordinates IS the unpadded trajectory."""
+    n = H.shape[1]
+    rem = (-n) % ndev
+    if rem:
+        H = jnp.pad(jnp.asarray(H), ((0, 0), (0, rem)))
+        x0 = jnp.pad(jnp.asarray(x0), (0, rem))
+    return H, x0
+
+
+def shard_dopt_problem(f, x0, mesh: Mesh, axis_name: str = "data",
+                       pad: bool = True):
     """Place a DOptimalObj problem on a mesh: H columns and x shard over
     ``axis_name``; returns ``(f_sharded, x0_sharded)``.
 
-    Requires n % mesh_size == 0 for an even layout (pad the design upstream
-    otherwise — D-opt is invariant to zero-weight padding columns only if
-    their x entries stay 0, so prefer true divisibility).
+    When n is not a multiple of the mesh size and ``pad=True`` (default),
+    the design is zero-padded to the next multiple — exactly neutral for
+    the D-opt solvers (see ``_pad_cols``); returned arrays have the padded
+    length and the padding x entries stay identically 0 (slice them off
+    with ``x[:n]``).  Note the zero-pad argument does NOT extend to
+    ``h.prox_map`` used directly on arbitrary g (ABDA's dual averaging):
+    only gradient-of-f inputs map pads to 0 there.
     """
+    ndev = int(mesh.shape[axis_name])
+    H, x0 = jnp.asarray(f.H), jnp.asarray(x0)
+    if pad:
+        H, x0 = _pad_cols(H, x0, ndev)
     col_sharding = NamedSharding(mesh, P(None, axis_name))
     vec_sharding = NamedSharding(mesh, P(axis_name))
-    H = jax.device_put(f.H, col_sharding)
+    H = jax.device_put(H, col_sharding)
     x0 = jax.device_put(x0, vec_sharding)
     return replace(f, H=H), x0
+
+
+def shard_dopt_design(V, x0, mesh: Mesh, axis_name: str = "data",
+                      pad: bool = True):
+    """Column-shard a raw design matrix + initial point for the
+    ``D_opt_FW`` / ``D_opt_FW_away`` solvers, zero-padding n to a mesh-size
+    multiple (exactly neutral; see ``_pad_cols``).  Returns
+    ``(V_sharded, x0_sharded)``."""
+    ndev = int(mesh.shape[axis_name])
+    V, x0 = jnp.asarray(V), jnp.asarray(x0)
+    if pad:
+        V, x0 = _pad_cols(V, x0, ndev)
+    V = jax.device_put(V, NamedSharding(mesh, P(None, axis_name)))
+    x0 = jax.device_put(x0, NamedSharding(mesh, P(axis_name)))
+    return V, x0
 
 
 def shard_regression_problem(f, x0, mesh: Mesh, axis_name: str = "data"):
