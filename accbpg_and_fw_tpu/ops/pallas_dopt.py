@@ -57,18 +57,26 @@ def _next_pow2(v: int) -> int:
     return p
 
 
-def _log1p_f32(x):
-    """f32 log1p with small-|x| series (Mosaic may lower log1p as
-    log(1+x), which loses all accuracy for |x| ~ 1e-9 step sizes)."""
-    small = jnp.abs(x) < 1.0e-3
-    series = x * (1.0 - x * (0.5 - x * (1.0 / 3.0)))
-    safe = jnp.where(small, 0.0, x)
-    return jnp.where(small, series, jnp.log(1.0 + safe))
+def _recip_f32(y, interpret):
+    """One f32 reciprocal.  Scalar f32 divides cost ~0.7 us each in the
+    Mosaic scalar pipeline (measured); sharing ONE reciprocal across the
+    three quotient digits of a DS division cuts the per-iteration divide
+    count from 21 to ~5.  (pl.reciprocal would remove it entirely but has
+    no scalar lowering in this jax version.)"""
+    return 1.0 / y
 
 
-def _ds_reciprocal(y):
-    """DS reciprocal of a DS scalar."""
-    return ds.div((jnp.float32(1.0), jnp.float32(0.0)), y)
+def _ds_div_fast(x, y, interpret):
+    """DS / DS long division sharing one f32 reciprocal (see _recip_f32).
+    The quotient digits self-correct, so a 1-ulp reciprocal is enough."""
+    r = _recip_f32(y[0], interpret)
+    q1 = x[0] * r
+    rem = ds.sub(x, ds.mul_f32(y, q1))
+    q2 = rem[0] * r
+    rem = ds.sub(rem, ds.mul_f32(y, q2))
+    q3 = rem[0] * r
+    q1, q2 = ds.quick_two_sum(q1, q2)
+    return ds.add((q1, q2), (q3, jnp.zeros_like(q3)))
 
 
 def _extract_lane_block(idx, interpret):
@@ -122,7 +130,7 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
                     xh_ref, xl_ref, wh_ref, wl_ref, Hh_ref, Hl_ref,
                     misc_ref,
                     xh_o, xl_o, wh_o, wl_o, Hh_o, Hl_o, misc_o,
-                    F_ref, SP_ref, SN_ref):
+                    TAU_ref, TWV_ref, SP_ref, SN_ref):
     eps = scal_ref[0]
     xtol = scal_ref[1]
     kmax = scal_ref[2]  # dynamic iteration budget for this launch (<= K)
@@ -136,80 +144,79 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
     cc = lax.broadcasted_iota(jnp.int32, (MP, MP), 1)
     diag = rr == cc
     m_f = jnp.float32(m)
+    # static double-single representation of 1/m (multiply, never divide)
+    inv_m_hi = np.float32(1.0 / m)
+    inv_m_lo = np.float32(1.0 / m - float(inv_m_hi))
+    inv_m = (jnp.float32(inv_m_hi), jnp.float32(inv_m_lo))
 
     A = _ABLATE
 
     def body(state):
-        (k, done, xh, xl, wh, wl, Hh, Hl, ldh, ldl, Fb, SPb, SNb) = state
+        (k, done, xh, xl, wh, wl, Hh, Hl, TAUb, TWVb, SPb, SNb) = state
         x = (xh, xl)
         w = (wh, wl)
         H = (Hh, Hl)
         kf32 = k.astype(jnp.float32)
 
+        # EVERY reduction keeps dims (1, 1) and every "scalar" stays a
+        # (1, 1) vector value: moving a value from the vector unit to the
+        # scalar unit stalls until the whole in-flight vector pipeline
+        # drains (~10 us with the deep DS chains here; measured — the
+        # scalar-crossing version of this kernel ran 186 us/iteration, this
+        # one ~8 us).  The ONLY per-launch crossing is the final misc write.
         if "select" in A:
-            i = k % jnp.int32(NP)
-            j = i
-            wi = (m_f + 1.0e-7 * kf32, jnp.float32(0.0))
-            wj = (m_f - 1.0e-7 * kf32, jnp.float32(0.0))
-            return _ablated_rest(A, k, done, x, w, H, ldh, ldl, Fb, SPb, SNb,
-                                 i, j, wi, wj)
-
-        # ---- toward candidate: DS argmax of w (hi plane, lo tie-break) ----
-        wmax_hi = jnp.max(wh)
-        cand = wh == wmax_hi
-        wmax_lo = jnp.max(jnp.where(cand, wl, -_BIG_F32))
-        cand2 = cand & (wl == wmax_lo)
-        i = jnp.min(jnp.where(cand2, lane, NP + 1))
-        wi = (wmax_hi, wmax_lo)
-
-        # ---- away candidate: argmin over support of ww = w - wi ----------
-        # (reference tie-break: first min index of ww * (x > 1e-8),
-        #  D_opt_alg.py:146-148; masked-out entries sit at 0 = max(ww))
-        if away:
-            mask = xh > xtol
-            wwh, wwl = ds.sub(w, wi)
-            mwh = jnp.where(mask, wwh, 0.0)
-            mwl = jnp.where(mask, wwl, 0.0)
-            mmin_hi = jnp.min(mwh)
-            candj = mwh == mmin_hi
-            mmin_lo = jnp.min(jnp.where(candj, mwl, _BIG_F32))
-            candj2 = candj & (mwl == mmin_lo)
-            j = jnp.min(jnp.where(candj2, lane, NP + 1))
-            # w_j = ww_j + w_i arithmetically (no lane extraction needed;
-            # the 2^-49 DS rounding is far below anything that matters)
-            wj = ds.add((mmin_hi, mmin_lo), wi)
+            imask = lane == (k % jnp.int32(NP))
+            jmask = imask
+            wi = (jnp.full((1, 1), m_f) + 1.0e-7 * kf32,
+                  jnp.zeros((1, 1), jnp.float32))
+            wj = (jnp.full((1, 1), m_f) - 1.0e-7 * kf32,
+                  jnp.zeros((1, 1), jnp.float32))
         else:
-            # plain FW reports min over support for SN but always steps toward
-            mask = xh > 0.0
-            wmin_hi = jnp.min(jnp.where(mask, wh, _BIG_F32))
-            candj = mask & (wh == wmin_hi)
-            wmin_lo = jnp.min(jnp.where(candj, wl, _BIG_F32))
-            wj = (wmin_hi, wmin_lo)
-            j = i  # unused
+            # toward candidate: DS argmax of w (hi plane, lo tie-break),
+            # first-index tie resolution via an iota-min, all vectorial
+            wmax_hi = jnp.max(wh, keepdims=True)
+            cand = wh == wmax_hi
+            wmax_lo = jnp.max(jnp.where(cand, wl, -_BIG_F32), keepdims=True)
+            cand2 = cand & (wl == wmax_lo)
+            imin = jnp.min(jnp.where(cand2, lane, NP + 1), keepdims=True)
+            imask = lane == imin
+            wi = (wmax_hi, wmax_lo)
 
-        return _ablated_rest(A, k, done, x, w, H, ldh, ldl, Fb, SPb, SNb,
-                             i, j, wi, wj)
+            if away:
+                # away candidate: argmin over support of ww = w - wi
+                # (reference tie-break: first min index of ww * (x > 1e-8),
+                # D_opt_alg.py:146-148; masked entries sit at 0 = max(ww))
+                mask = xh > xtol
+                wwh, wwl = ds.sub(w, wi)
+                mwh = jnp.where(mask, wwh, 0.0)
+                mwl = jnp.where(mask, wwl, 0.0)
+                mmin_hi = jnp.min(mwh, keepdims=True)
+                candj = mwh == mmin_hi
+                mmin_lo = jnp.min(jnp.where(candj, mwl, _BIG_F32),
+                                  keepdims=True)
+                candj2 = candj & (mwl == mmin_lo)
+                jmin = jnp.min(jnp.where(candj2, lane, NP + 1), keepdims=True)
+                jmask = lane == jmin
+                # w_j = ww_j + w_i arithmetically (2^-49 DS rounding only)
+                wj = ds.add((mmin_hi, mmin_lo), wi)
+            else:
+                # plain FW: min over support for SN; always step toward
+                mask = xh > 0.0
+                wmin_hi = jnp.min(jnp.where(mask, wh, _BIG_F32),
+                                  keepdims=True)
+                candj = mask & (wh == wmin_hi)
+                wmin_lo = jnp.min(jnp.where(candj, wl, _BIG_F32),
+                                  keepdims=True)
+                wj = (wmin_hi, wmin_lo)
+                jmask = imask  # unused
 
-    def _ablated_rest(A, k, done, x, w, H, ldh, ldl, Fb, SPb, SNb,
-                      i, j, wi, wj):
-        (xh, xl), (wh, wl) = x, w
-        Hh, Hl = H
-        kf32 = k.astype(jnp.float32)
-        # ---- slacks + history row ----------------------------------------
-        minv = (jnp.float32(m_f), jnp.float32(0.0))
-        sp_ds = ds.div(ds.add_f32(wi, -m_f), minv)          # wi/m - 1
-        sn_ds = ds.div(ds.add_f32(ds.neg(wj), m_f), minv)   # 1 - wj/m
+        # ---- slacks (multiply by the static DS 1/m; never divide) --------
+        sp_ds = ds.mul(ds.add_f32(wi, -m_f), inv_m)          # wi/m - 1
+        sn_ds = ds.mul(ds.add_f32(ds.neg(wj), m_f), inv_m)   # 1 - wj/m
         sp = sp_ds[0] + sp_ds[1]
         sn = sn_ds[0] + sn_ds[1]
-        Fk = -(ldh + ldl)
 
-        if "hist" not in A:
-            krow = laneK == k
-            Fb = jnp.where(krow, Fk, Fb)
-            SPb = jnp.where(krow, sp, SPb)
-            SNb = jnp.where(krow, sn, SNb)
-
-        stop = (sp <= eps) & (sn <= eps)
+        stop = (sp <= eps) & (sn <= eps)      # (1, 1) bool
 
         # ---- unified toward/away step ------------------------------------
         # toward: tau = +t_t;  away: tau = -t_a.  Then for v in {i, j}:
@@ -217,44 +224,44 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
         #   H     <- (H - c * HVv HVv^T) / (1 - tau)
         #   w     <- (w - c * (HVv^T V)^2) / (1 - tau)
         #   x     <- x*(1 - tau), x_v += tau
-        #   logdet += (m-1)*log1p(-tau) + log1p(tau*(w_v - 1))
+        #   logdet += (m-1)*log1p(-tau) + log1p(tau*(w_v - 1))   [on host]
         # which reproduces both branches of D_opt_alg.py:162-179 exactly.
-        t_t = ds.div(sp_ds, ds.add_f32(wi, -1.0))
+        t_t = _ds_div_fast(sp_ds, ds.add_f32(wi, -1.0), interpret)
         if "scalars" in A:
-            v_idx = i
+            vmask = imask
             wv = wi
-            tau = (1.0e-7 + 1.0e-12 * kf32, jnp.float32(0.0))
+            tau = (jnp.full((1, 1), 1.0e-7) + 1.0e-12 * kf32,
+                   jnp.zeros((1, 1), jnp.float32))
         elif away:
-            jmask = lane == j
-            xj = (jnp.sum(jnp.where(jmask, xh, 0.0)),
-                  jnp.sum(jnp.where(jmask, xl, 0.0)))
-            a1 = ds.div(sn_ds, ds.add_f32(wj, -1.0))
-            a2 = ds.div(xj, ds.add_f32(ds.neg(xj), 1.0))
+            xj = (jnp.sum(jnp.where(jmask, xh, 0.0), keepdims=True),
+                  jnp.sum(jnp.where(jmask, xl, 0.0), keepdims=True))
+            a1 = _ds_div_fast(sn_ds, ds.add_f32(wj, -1.0), interpret)
+            a2 = _ds_div_fast(xj, ds.add_f32(ds.neg(xj), 1.0), interpret)
             # select-min lands on a2 if a1 is inf/nan (w_j == 1 divide)
             t_a = ds.where(ds.lt(a1, a2), a1, a2)
-            toward = sp >= sn
-            v_idx = jnp.where(toward, i, j)
+            toward = sp >= sn                  # (1, 1) bool
+            # boolean-select via logic ops (Mosaic cannot select_n on i1)
+            vmask = (toward & imask) | (jnp.logical_not(toward) & jmask)
             wv = ds.where(toward, wi, wj)
             tau = ds.where(toward, t_t, ds.neg(t_a))
         else:
-            v_idx = i
+            vmask = imask
             wv = wi
             tau = t_t
 
         wv_m1 = ds.add_f32(wv, -1.0)
-        c_ = ds.div(tau, ds.add_f32(ds.mul(tau, wv_m1), 1.0))
+        c_ = _ds_div_fast(tau, ds.add_f32(ds.mul(tau, wv_m1), 1.0), interpret)
         one_m_tau = ds.add_f32(ds.neg(tau), 1.0)
-        r_tau = _ds_reciprocal(one_m_tau)
+        one_ds = (jnp.ones((1, 1), jnp.float32), jnp.zeros((1, 1), jnp.float32))
+        r_tau = _ds_div_fast(one_ds, one_m_tau, interpret)
 
-        vmask = lane == v_idx
         if "extract" in A:
             Vi = (Vh[:, 0:1] + 1.0e-9 * kf32, Vl[:, 0:1])
         else:
-            # V[:, v] as a (MP, 1) DS column: read the 128-aligned lane
-            # block containing it (Mosaic only allows 128-multiple dynamic
-            # lane offsets) and mask-reduce within the block
-            vext = _extract_lane_block(v_idx, interpret)
-            Vi = (vext(Vh_ref), vext(Vl_ref))
+            # V[:, v] as a (MP, 1) DS column via a masked lane-reduction —
+            # a dynamic pl.ds read would need the index on the scalar unit
+            Vi = (jnp.sum(jnp.where(vmask, Vh, 0.0), axis=1, keepdims=True),
+                  jnp.sum(jnp.where(vmask, Vl, 0.0), axis=1, keepdims=True))
         # R: every row holds (H Vv)^T — butterfly all-reduce over sublanes of
         # H[r,c] * Vi[r] (H is symmetric, so Vi^T H == (H Vi)^T)
         R = _ds_allreduce_sub(ds.mul(H, Vi), MP, interpret)
@@ -277,36 +284,52 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
         xs = ds.mul(x, one_m_tau)
         x_new = ds.where(vmask, ds.add(xs, tau), xs)
 
+        # logdet tracking happens on HOST from the recorded (tau, twv) rows
         tau_f = tau[0] + tau[1]
         twv = ds.mul(tau, wv_m1)
-        inc = (m_f - 1.0) * _log1p_f32(-tau_f) + _log1p_f32(twv[0] + twv[1])
-        ldh_new, ldl_new = ds.add_f32((ldh, ldl), inc)
+        twv_f = twv[0] + twv[1]
 
         # freeze when the stop criterion fired (the reference breaks BEFORE
-        # applying the update, D_opt_alg.py:159-160)
-        run = jnp.logical_not(stop | done)
+        # applying the update, D_opt_alg.py:159-160); done stays a (1, 1)
+        # f32 vector (Mosaic cannot carry i1 vectors through scf.while) and
+        # the loop condition never reads vector state
+        run = jnp.logical_not(stop) & (done < 0.5)
+
+        if "hist" not in A:
+            krow = laneK == k
+            SPb = jnp.where(krow, sp, SPb)
+            SNb = jnp.where(krow, sn, SNb)
+            # frozen iterations record tau = twv = 0 (=> logdet increment 0)
+            TAUb = jnp.where(krow & run, tau_f, TAUb)
+            TWVb = jnp.where(krow & run, twv_f, TWVb)
 
         def sel(new, old):
             return jnp.where(run, new, old)
 
-        return (k + 1, done | stop,
+        done_new = jnp.maximum(done, jnp.where(stop, 1.0, 0.0))
+        return (k + 1, done_new,
                 sel(x_new[0], xh), sel(x_new[1], xl),
                 sel(w_new[0], wh), sel(w_new[1], wl),
                 sel(H_new[0], Hh), sel(H_new[1], Hl),
-                sel(ldh_new, ldh), sel(ldl_new, ldl),
-                Fb, SPb, SNb)
+                TAUb, TWVb, SPb, SNb)
+
+    kcap = jnp.minimum(jnp.int32(K), kmax.astype(jnp.int32))
 
     def cond(state):
-        k, done = state[0], state[1]
-        return (k < jnp.minimum(jnp.int32(K), kmax.astype(jnp.int32))) & jnp.logical_not(done)
+        # scalar-unit-only condition: reading the vector-resident done flag
+        # here would drain the vector pipeline every iteration.  Iterations
+        # past the stop freeze via where-selects; the host truncates from
+        # the recorded slack rows.
+        return state[0] < kcap
 
     zero_hist = jnp.zeros((1, K), jnp.float32)
-    init = (jnp.int32(0), misc_ref[2] > 0.5,
+    done0 = jnp.full((1, 1), misc_ref[0])  # one scalar read per launch
+    init = (jnp.int32(0), done0,
             xh_ref[:], xl_ref[:], wh_ref[:], wl_ref[:],
-            Hh_ref[:], Hl_ref[:], misc_ref[0], misc_ref[1],
-            zero_hist, zero_hist, zero_hist)
+            Hh_ref[:], Hl_ref[:],
+            zero_hist, zero_hist, zero_hist, zero_hist)
     out = lax.while_loop(cond, body, init)
-    (k, done, xh, xl, wh, wl, Hh, Hl, ldh, ldl, Fb, SPb, SNb) = out
+    (k, done, xh, xl, wh, wl, Hh, Hl, TAUb, TWVb, SPb, SNb) = out
 
     xh_o[:] = xh
     xl_o[:] = xl
@@ -314,11 +337,11 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
     wl_o[:] = wl
     Hh_o[:] = Hh
     Hl_o[:] = Hl
-    misc_o[0] = ldh
-    misc_o[1] = ldl
-    misc_o[2] = jnp.where(done, jnp.float32(1.0), jnp.float32(0.0))
-    misc_o[3] = k.astype(jnp.float32)
-    F_ref[:] = Fb
+    # single vector->scalar crossing per LAUNCH (not per iteration)
+    misc_o[0] = done[0, 0]
+    misc_o[1] = k.astype(jnp.float32)  # rows launched; host finds the stop
+    TAU_ref[:] = TAUb
+    TWV_ref[:] = TWVb
     SP_ref[:] = SPb
     SN_ref[:] = SNb
 
@@ -339,8 +362,9 @@ def _build_chunk_fn(m, MP, NP, K, away, interpret):
             jax.ShapeDtypeStruct((1, NP), f32),   # wl
             jax.ShapeDtypeStruct((MP, MP), f32),  # Hh
             jax.ShapeDtypeStruct((MP, MP), f32),  # Hl
-            jax.ShapeDtypeStruct((4,), f32),      # misc: ld_hi, ld_lo, done, niter
-            jax.ShapeDtypeStruct((1, K), f32),    # F
+            jax.ShapeDtypeStruct((2,), f32),      # misc: done, niter
+            jax.ShapeDtypeStruct((1, K), f32),    # TAU (logdet args, host log1p)
+            jax.ShapeDtypeStruct((1, K), f32),    # TWV
             jax.ShapeDtypeStruct((1, K), f32),    # SP
             jax.ShapeDtypeStruct((1, K), f32),    # SN
         ),
@@ -364,6 +388,7 @@ def _build_chunk_fn(m, MP, NP, K, away, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -448,14 +473,31 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
         out = fn(jnp.asarray(scal), Vh, Vl,
                  state["x"][0], state["x"][1], state["w"][0], state["w"][1],
                  state["H"][0], state["H"][1],
-                 jnp.asarray(np.array([state["ld"], 0.0, state["done"], 0.0],
-                                      np.float32)))
+                 jnp.asarray(np.array([state["done"], 0.0], np.float32)))
         out = [np.asarray(o) for o in jax.block_until_ready(out)]
-        (xh, xl, wh, wl, Hh, Hl, misc, Fb, SPb, SNb) = out
+        (xh, xl, wh, wl, Hh, Hl, misc, TAUb, TWVb, SPb, SNb) = out
         t_b = time.time() - t0
-        nv = int(misc[3])
+        launched = int(misc[1])
+        # the loop no longer early-exits on the stop flag (that would read
+        # vector state in the condition); frozen rows repeat the stopping
+        # slacks, so truncate at the FIRST row meeting the criterion
+        nv = launched
+        if misc[0] > 0.5 and launched:
+            hit = np.flatnonzero((SPb[0, :launched] <= eps)
+                                 & (SNb[0, :launched] <= eps))
+            if hit.size:
+                nv = int(hit[0]) + 1
         t_a = T_parts[-1][-1] if T_parts and len(T_parts[-1]) else 0.0
-        F_parts.append(Fb[0, :nv])
+        # F history reconstructed on host: the kernel records the logdet
+        # increment arguments (tau, tau*(w_v-1)) per iteration and the host
+        # pays the log1p cost once per chunk instead of ~1.3 us per scalar
+        # log in-kernel.  F[k] is the objective BEFORE iteration k's update.
+        tau_rows = TAUb[0, :nv].astype(np.float64)
+        twv_rows = TWVb[0, :nv].astype(np.float64)
+        incs = (m - 1.0) * np.log1p(-tau_rows) + np.log1p(twv_rows)
+        ld_rows = state["ld"] + np.concatenate([[0.0], np.cumsum(incs)[:-1]])
+        state["ld"] = state["ld"] + float(np.sum(incs))
+        F_parts.append(-ld_rows)
         SP_parts.append(SPb[0, :nv])
         SN_parts.append(SNb[0, :nv])
         T_parts.append(t_a + (t_b - t_a) * (np.arange(nv) + 1) / max(nv, 1))
@@ -468,11 +510,11 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
                           .format(kk, F_parts[-1][jrow], SP_parts[-1][jrow],
                                   SN_parts[-1][jrow], T_parts[-1][jrow]))
 
-        state = {"x": (xh, xl), "w": (wh, wl), "H": (Hh, Hl),
-                 "ld": float(misc[0]) + float(misc[1]), "done": float(misc[2])}
+        state["x"], state["w"], state["H"] = (xh, xl), (wh, wl), (Hh, Hl)
+        state["done"] = float(misc[0])
         k_done += nv
         since_refresh += nv
-        if misc[2] > 0.5 or nv == 0:
+        if misc[0] > 0.5 or nv == 0:
             break
         if refresh_every and since_refresh >= refresh_every:
             x64c = (xh[0, :n].astype(np.float64)
