@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .driver import run_driver
@@ -170,6 +171,165 @@ def _dopt_step(cfg, prob, c, k):
     return c2, dict(F=Fk, SP=eps_pos, SN=eps_neg, _stop=stop)
 
 
+def _dopt_step_ds(cfg, prob, c, k):
+    """Unified FW(-away) step with the WHOLE state in double-single f32
+    (ops/double_single.py): ~f64-accurate trajectories (certifies slack
+    1e-8) from pure f32 XLA ops — no f64 emulation (~25x matmul tax), no
+    jax_enable_x64 requirement, vmappable for batched sweeps.
+
+    Same math as ``_dopt_step`` expressed through the signed-tau unification
+    (ops/pallas_dopt.py): toward tau=+t, away tau=-t, then a single shared
+    update path reproduces both branches of D_opt_alg.py:162-179.
+    """
+    from ..ops import double_single as dsa
+
+    Vds = (prob["V_hi"], prob["V_lo"])
+    eps = prob["eps"]
+    m, n = Vds[0].shape
+    m_f = jnp.float32(m)
+    # 1/m in DS — passed through prob as a RUNTIME value: XLA's constant
+    # folder destroys error-free transforms on jit-constant subgraphs
+    # (ops/double_single.py module hazard note)
+    inv_m = (prob["inv_m_hi"], prob["inv_m_lo"])
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    x = (c["x_hi"], c["x_lo"])
+    w = (c["w_hi"], c["w_lo"])
+    H = (c["H_hi"], c["H_lo"])
+    ld = (c["ld_hi"], c["ld_lo"])
+
+    # toward candidate: DS argmax (hi plane, lo tie-break, first index)
+    wmax_hi = jnp.max(w[0])
+    cand = w[0] == wmax_hi
+    wmax_lo = jnp.max(jnp.where(cand, w[1], -jnp.inf))
+    i = jnp.min(jnp.where(cand & (w[1] == wmax_lo), iota, n + 1))
+    wi = (wmax_hi, wmax_lo)
+
+    if cfg.away:
+        # away candidate: first argmin of (w - wi) * (x > 1e-8)
+        mask = x[0] > 1.0e-8
+        wwh, wwl = dsa.sub(w, wi)
+        mwh = jnp.where(mask, wwh, 0.0)
+        mwl = jnp.where(mask, wwl, 0.0)
+        mmin_hi = jnp.min(mwh)
+        candj = mwh == mmin_hi
+        mmin_lo = jnp.min(jnp.where(candj, mwl, jnp.inf))
+        j = jnp.min(jnp.where(candj & (mwl == mmin_lo), iota, n + 1))
+        wj = dsa.add((mmin_hi, mmin_lo), wi)
+    else:
+        mask = x[0] > 0.0
+        wmin_hi = jnp.min(jnp.where(mask, w[0], jnp.inf))
+        candj = mask & (w[0] == wmin_hi)
+        wmin_lo = jnp.min(jnp.where(candj, w[1], jnp.inf))
+        wj = (wmin_hi, wmin_lo)
+        j = i
+
+    sp_ds = dsa.mul(dsa.add_f32(wi, -m_f), inv_m)
+    sn_ds = dsa.mul(dsa.add_f32(dsa.neg(wj), m_f), inv_m)
+    sp = sp_ds[0] + sp_ds[1]
+    sn = sn_ds[0] + sn_ds[1]
+    Fk = -(ld[0] + ld[1])
+    stop = (sp <= eps) & (sn <= eps)
+
+    t_t = dsa.div(sp_ds, dsa.add_f32(wi, -1.0))
+    if cfg.away:
+        xj = (x[0][j], x[1][j])
+        a1 = dsa.div(sn_ds, dsa.add_f32(wj, -1.0))
+        a2 = dsa.div(xj, dsa.add_f32(dsa.neg(xj), 1.0))
+        use_a1 = dsa.lt(a1, a2)
+        t_a = dsa.where(use_a1, a1, a2)
+        toward = sp >= sn
+        v = jnp.where(toward, i, j)
+        wv = dsa.where(toward, wi, wj)
+        tau = dsa.where(toward, t_t, dsa.neg(t_a))
+        # boundary away step (t = x_j/(1-x_j)) DROPS coordinate j: zero it
+        # EXACTLY.  The DS residual of x_j(1+t) - t is ~1e-10 — large
+        # enough to leave ghost coordinates near the reference's 1e-8
+        # support threshold whose mask-flapping sustains a ~5e-8 slack
+        # limit cycle (observed; the reference's f64 residual is ~1e-17
+        # and harmless, D_opt_alg.py:173-175).
+        dropped = jnp.logical_not(toward) & jnp.logical_not(use_a1)
+    else:
+        v = i
+        wv = wi
+        tau = t_t
+        dropped = jnp.asarray(False)
+
+    wv_m1 = dsa.add_f32(wv, -1.0)
+    c_ = dsa.div(tau, dsa.add_f32(dsa.mul(tau, wv_m1), 1.0))
+    one_m_tau = dsa.add_f32(dsa.neg(tau), 1.0)
+    r_tau = dsa.div((jnp.float32(1.0), jnp.float32(0.0)), one_m_tau)
+
+    Vi = (lax.dynamic_index_in_dim(Vds[0], v, axis=1, keepdims=False),
+          lax.dynamic_index_in_dim(Vds[1], v, axis=1, keepdims=False))
+    HVi = dsa.sum_along(dsa.mul(H, (Vi[0][None, :], Vi[1][None, :])), 1)
+    u = dsa.sum_along(dsa.mul((HVi[0][:, None], HVi[1][:, None]), Vds), 0)
+    # consistency pin u[v] = w[v] (see _dopt_step)
+    u = (u[0].at[v].set(wv[0]), u[1].at[v].set(wv[1]))
+
+    w_new = dsa.mul(dsa.sub(w, dsa.mul(c_, dsa.sq(u))), r_tau)
+    outer = dsa.mul((HVi[0][:, None], HVi[1][:, None]),
+                    (HVi[0][None, :], HVi[1][None, :]))
+    H_new = dsa.mul(dsa.sub(H, dsa.mul(c_, outer)), r_tau)
+    xs = dsa.mul(x, one_m_tau)
+    # DS addition at the stepped coordinate (adding the hi/lo planes
+    # separately would drop the cross terms — a full f32-ulp error)
+    xv_new = dsa.add((xs[0][v], xs[1][v]), tau)
+    zero = jnp.float32(0.0)
+    xv_hi = jnp.where(dropped, zero, xv_new[0])
+    xv_lo = jnp.where(dropped, zero, xv_new[1])
+    x_new = (xs[0].at[v].set(xv_hi), xs[1].at[v].set(xv_lo))
+
+    tau_f = tau[0] + tau[1]
+    twv = dsa.mul(tau, wv_m1)
+    inc = (m_f - 1.0) * jnp.log1p(-tau_f) + jnp.log1p(twv[0] + twv[1])
+    ld_new = dsa.add_f32(ld, inc)
+
+    # the reference breaks BEFORE applying the update (D_opt_alg.py:72-73)
+    keep = lambda new, old: jnp.where(stop, old, new)  # noqa: E731
+    c2 = dict(done=c["done"],
+              x_hi=keep(x_new[0], x[0]), x_lo=keep(x_new[1], x[1]),
+              w_hi=keep(w_new[0], w[0]), w_lo=keep(w_new[1], w[1]),
+              H_hi=keep(H_new[0], H[0]), H_lo=keep(H_new[1], H[1]),
+              ld_hi=keep(ld_new[0], ld[0]), ld_lo=keep(ld_new[1], ld[1]))
+    return c2, dict(F=Fk, SP=sp, SN=sn, _stop=stop)
+
+
+def _ds_split_np(a):
+    import numpy as _np
+
+    hi = _np.asarray(a, _np.float32)
+    lo = _np.asarray(_np.asarray(a, _np.float64) - hi.astype(_np.float64),
+                     _np.float32)
+    return hi, lo
+
+
+def _inv_m_ds_np(m):
+    """1/m as a DS pair of f32 numpy scalars (lo computed in f64 — NumPy 2
+    weak promotion would evaluate python_float - np.float32 in f32)."""
+    import numpy as _np
+
+    hi = _np.float32(1.0 / m)
+    lo = _np.float32(1.0 / m - float(hi))
+    return hi, lo
+
+
+def _dopt_factorize_ds(V64, x64):
+    """Fresh DS state from a host float64 factorization (numpy — exact
+    regardless of jax_enable_x64)."""
+    import numpy as _np
+
+    m = V64.shape[0]
+    VXVT = (V64 * x64) @ V64.T
+    L = _np.linalg.cholesky(VXVT)
+    logdet = 2.0 * _np.sum(_np.log(_np.diag(L)))
+    Linv = _np.linalg.solve(L, _np.eye(m))
+    H = Linv.T @ Linv
+    W = Linv @ V64
+    w = _np.einsum("ij,ij->j", W, W)
+    return H, w, logdet
+
+
 def _dopt_problem(V, eps, u_mode):
     """Resolve u_mode and build the traced problem pytree + static cfg."""
     dt = V.dtype
@@ -225,8 +385,71 @@ def _warn_if_downcast(V_in, V_dev):
         )
 
 
+def _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
+                 refresh_every, header, checkpoint=None):
+    """Double-single engine: f64-accurate trajectories from pure f32 XLA
+    (see ``_dopt_step_ds``).  Host-side f64 factorization for the initial
+    state and optional periodic refresh."""
+    import numpy as onp
+
+    V64 = onp.asarray(V, onp.float64)
+    x64 = onp.asarray(x0, onp.float64)
+    H, w, logdet = _dopt_factorize_ds(V64, x64)
+    Vh, Vl = _ds_split_np(V64)
+    xh, xl = _ds_split_np(x64)
+    wh, wl = _ds_split_np(w)
+    Hh, Hl = _ds_split_np(H)
+    ldh, ldl = _ds_split_np(onp.float64(logdet))
+    imh, iml = _inv_m_ds_np(V64.shape[0])
+    prob = dict(V_hi=jnp.asarray(Vh), V_lo=jnp.asarray(Vl),
+                eps=jnp.asarray(eps, jnp.float32),
+                inv_m_hi=jnp.asarray(imh), inv_m_lo=jnp.asarray(iml))
+    carry = dict(done=jnp.asarray(False),
+                 x_hi=jnp.asarray(xh), x_lo=jnp.asarray(xl),
+                 w_hi=jnp.asarray(wh), w_lo=jnp.asarray(wl),
+                 H_hi=jnp.asarray(Hh), H_lo=jnp.asarray(Hl),
+                 ld_hi=jnp.asarray(ldh), ld_lo=jnp.asarray(ldl))
+    cfg = _DOptCfg(away=away, mixed=False)
+
+    between = None
+    if refresh_every:
+        last_refresh = [0]
+
+        def between(c, k_next):
+            if k_next - last_refresh[0] >= refresh_every:
+                last_refresh[0] = k_next
+                x64c = (onp.asarray(c["x_hi"], onp.float64)
+                        + onp.asarray(c["x_lo"], onp.float64))
+                Hn, wn, ldn = _dopt_factorize_ds(V64, x64c)
+                c = dict(c)
+                for name, val in (("w", wn), ("H", Hn),
+                                  ("ld", onp.float64(ldn))):
+                    hi, lo = _ds_split_np(val)
+                    c[f"{name}_hi"] = jnp.asarray(hi)
+                    c[f"{name}_lo"] = jnp.asarray(lo)
+            return c
+
+    def row(k, r, t):
+        print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:6.1f}".format(
+            k, r["F"], r["SP"], r["SN"], t))
+
+    carry, hist, T = run_driver(_dopt_step_ds, carry, maxitrs,
+                                verbose=verbose, verbskip=verbskip,
+                                header=header, print_row=row, chunk=chunk,
+                                checkpoint=checkpoint,
+                                between_chunks=between, problem=prob,
+                                cfg=cfg)
+    x_out = (onp.asarray(carry["x_hi"], onp.float64)
+             + onp.asarray(carry["x_lo"], onp.float64))
+    return x_out, hist["F"], hist["SP"], hist["SN"], T
+
+
 def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
               refresh_every, header, checkpoint=None, u_mode="auto"):
+    if u_mode == "ds":
+        return _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk,
+                            away, refresh_every, header,
+                            checkpoint=checkpoint)
     V_in = V
     V = jnp.asarray(V)
     _warn_if_downcast(V_in, V)

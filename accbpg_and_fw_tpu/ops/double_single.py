@@ -37,6 +37,19 @@ _SPLIT = 4097.0  # 2^12 + 1: Veltkamp constant for float32 (24-bit mantissa)
 
 
 # -- error-free transformations (raw f32) -----------------------------------
+#
+# HAZARD — never bake DS values into a jit as compile-time CONSTANTS.
+# XLA's constant folder evaluates fully-constant subgraphs with
+# real-arithmetic simplifications (t - (t - a) -> a; s - a -> b for
+# s = a + b), which nullifies exactly the cancellations these transforms
+# are made of: a DS product of two jit-time constants was measured to come
+# back with its error term folded to 0 (f32 accuracy), while the SAME
+# values passed as runtime arguments were exact — and optimization_barrier
+# does NOT protect the constant path.  Thread every DS quantity (including
+# precomputed constants like 1/m) through the jit as an ARGUMENT;
+# tests/test_double_single.py::test_runtime_args_stay_exact guards the
+# argument path.
+
 
 def two_sum(a, b):
     """s + err == a + b exactly, s = fl(a + b) (Knuth)."""

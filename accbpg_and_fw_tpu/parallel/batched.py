@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..algorithms.d_opt import (
+    _DOptCfg,
     _dopt_factorize,
+    _dopt_factorize_ds,
+    _dopt_step_ds,
+    _ds_split_np,
+    _inv_m_ds_np,
     _make_dopt_step,
     _warn_if_downcast,
 )
@@ -63,7 +68,120 @@ def _batch_solve(away, refresh_every, num_iters, Vs, x0s, eps):
     return jax.vmap(solve_one)(Vs, x0s)
 
 
-def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _batch_solve_ds(away, num_iters, Vh, Vl, carry, eps, inv_m_hi, inv_m_lo):
+    cfg = _DOptCfg(away=away, mixed=False)
+
+    def solve_one(Vh1, Vl1, c1):
+        # inv_m rides as a runtime arg — DS constants must never be baked
+        # into the jit (ops/double_single.py hazard note)
+        prob = dict(V_hi=Vh1, V_lo=Vl1, eps=eps,
+                    inv_m_hi=inv_m_hi, inv_m_lo=inv_m_lo)
+
+        def step(c, k):
+            return _dopt_step_ds(cfg, prob, c, k)
+
+        wrapped = _wrap_step(step)
+        c2, hist = lax.scan(wrapped, c1,
+                            jnp.arange(num_iters, dtype=jnp.int32))
+        return (c2, c2["x_hi"], c2["x_lo"], hist["F"], hist["SP"],
+                hist["SN"])
+
+    return jax.vmap(solve_one)(Vh, Vl, carry)
+
+
+def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0):
+    """Batch D-opt FW(-away) in DOUBLE-SINGLE precision: the trajectories
+    carry ~49 significand bits (certify slack targets down to 1e-8, like
+    float64) but every operation is pure f32 — no emulated-f64 matmuls,
+    so the vmapped batch runs at f32 speed.  This is the sweep engine for
+    tiny/medium m where the round-1 f64 batch LOST to sequential numpy
+    (BASELINE.md "honest" row).
+
+    Vs: (K, m, n); x0s: (K, n).  Returns ``(x, F, SP, SN)`` with leading
+    batch axis (x in float64, reconstructed from the DS planes).
+
+    ``refresh_every``: optional host-side float64 re-factorization of
+    (H, w, logdet) from the current iterates every R iterations (resets
+    incremental drift; the refreshed slacks are the honest ones).
+
+    KNOWN LIMIT (recorded, round 2): with K >= 2 the vmapped lowering
+    rounds differently from the single-instance path; on very small m
+    (~12) some instances enter a shallow limit cycle between 1e-8 and
+    1e-7 slack instead of certifying 1e-8 (single-instance ``u_mode="ds"``
+    and the Pallas kernel certify 1e-8 on the same instances).  At the
+    sweep scales the studies use (m >= 30) measure certification before
+    relying on 1e-8; 1e-7 targets are reliable.
+    """
+    import numpy as onp
+
+    Vs64 = onp.asarray(Vs, onp.float64)
+    x0s64 = onp.asarray(x0s, onp.float64)
+    K = Vs64.shape[0]
+    carries = {"done": onp.zeros(K, bool)}
+    planes = {"V_hi": [], "V_lo": []}
+    for name in ("x", "w", "H", "ld"):
+        carries[f"{name}_hi"] = []
+        carries[f"{name}_lo"] = []
+    for kk in range(K):
+        H, w, logdet = _dopt_factorize_ds(Vs64[kk], x0s64[kk])
+        vh, vl = _ds_split_np(Vs64[kk])
+        planes["V_hi"].append(vh)
+        planes["V_lo"].append(vl)
+        for name, val in (("x", x0s64[kk]), ("w", w), ("H", H),
+                          ("ld", onp.float64(logdet))):
+            hi, lo = _ds_split_np(val)
+            carries[f"{name}_hi"].append(hi)
+            carries[f"{name}_lo"].append(lo)
+    carry = {k: jnp.asarray(onp.stack(v)) if k != "done" else
+             jnp.asarray(v) for k, v in carries.items()}
+    Vh = jnp.asarray(onp.stack(planes["V_hi"]))
+    Vl = jnp.asarray(onp.stack(planes["V_lo"]))
+    imh, iml = _inv_m_ds_np(Vs64.shape[1])
+
+    R = int(refresh_every) if refresh_every else int(num_iters)
+    R = min(R, int(num_iters))
+    Fs, SPs, SNs = [], [], []
+    done_iters = 0
+    while done_iters < num_iters:
+        r = min(R, num_iters - done_iters)
+        out = _batch_solve_ds(bool(away), int(r), Vh, Vl, carry,
+                              jnp.asarray(eps, jnp.float32),
+                              jnp.asarray(imh), jnp.asarray(iml))
+        carry2, xh, xl, F, SP, SN = out
+        Fs.append(onp.asarray(F))
+        SPs.append(onp.asarray(SP))
+        SNs.append(onp.asarray(SN))
+        carry = carry2
+        done_iters += r
+        if done_iters >= num_iters or bool(jnp.all(carry["done"])):
+            break
+        # host-side f64 refresh from the current iterates
+        xh_np = onp.asarray(carry["x_hi"], onp.float64)
+        xl_np = onp.asarray(carry["x_lo"], onp.float64)
+        x_now = xh_np + xl_np
+        upd = {"w_hi": [], "w_lo": [], "H_hi": [], "H_lo": [],
+               "ld_hi": [], "ld_lo": []}
+        for kk in range(K):
+            Hn, wn, ldn = _dopt_factorize_ds(Vs64[kk], x_now[kk])
+            for name, val in (("w", wn), ("H", Hn), ("ld", onp.float64(ldn))):
+                hi, lo = _ds_split_np(val)
+                upd[f"{name}_hi"].append(hi)
+                upd[f"{name}_lo"].append(lo)
+        carry = dict(carry)
+        for kname, v in upd.items():
+            carry[kname] = jnp.asarray(onp.stack(v))
+
+    x = (onp.asarray(carry["x_hi"], onp.float64)
+         + onp.asarray(carry["x_lo"], onp.float64))
+    F = onp.concatenate(Fs, axis=1)
+    SP = onp.concatenate(SPs, axis=1)
+    SN = onp.concatenate(SNs, axis=1)
+    return x, F, SP, SN
+
+
+def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
+                  precision="native"):
     """Solve a batch of D-optimal design instances in one computation.
 
     Vs: (K, m, n) stacked design matrices; x0s: (K, n) initial points.
@@ -91,6 +209,9 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0):
     independent O(mn) GEMVs into one (K, m, n) batched contraction — a large
     net win on the MXU for sweep workloads.
     """
+    if precision == "ds":
+        return dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=away,
+                                refresh_every=refresh_every)
     Vs_in = Vs
     Vs = jnp.asarray(Vs)
     _warn_if_downcast(Vs_in, Vs)

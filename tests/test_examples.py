@@ -1,6 +1,8 @@
 """Smoke tests: every example script runs end-to-end at tiny sizes."""
 
 import sys
+
+import numpy as np
 from pathlib import Path
 
 import pytest
@@ -60,3 +62,64 @@ def test_dopt_sweep_example():
     for n, r in out.items():
         assert all(i >= 0 for i in r["iters"]), (n, r)
         assert r["geomean"] > 0
+
+
+def test_ky_vs_kha_example(tmp_path):
+    import ex_Dopt_KYvsKha
+
+    rows = ex_Dopt_KYvsKha.start(m=8, n=80, eps=1e-5, maxitrs=3000,
+                                 seeds=(4,), plot=True, verbose=False,
+                                 chunk=500)
+    assert rows and all(r["ky_iters"] > 0 for r in rows)
+
+
+def test_fw_rs_example():
+    import ex_fw_rs
+
+    out = ex_fw_rs.start(maxitrs=30, plot=False, verbose=False,
+                         panels=("dopt",))
+    assert all(F[-1] <= F[0] for F in out["dopt"].values())
+
+
+def test_aibm_poisson_example():
+    import ex_aibm_poisson
+
+    out = ex_aibm_poisson.start(m=60, n=30, maxitrs=40, gammas=(2.0,),
+                                plot=False, verbose=False)
+    assert all(len(F) > 0 for F in out[2.0].values())
+
+
+def test_universal_fw_example():
+    import ex_universal_fw
+
+    out = ex_universal_fw.start(n=40, r=1, maxitrs=30,
+                                noise_levels=(0.1,), plot=False,
+                                verbose=False)
+    assert all(len(F) > 0 for F in out[0.1].values())
+
+
+def test_params_free_symnmf_example():
+    import ex_params_free_symnmf
+
+    out = ex_params_free_symnmf.start(n=24, r=2, maxitrs=40, plot=False,
+                                      verbose=False)
+    assert all(F[-1] <= F[0] for F in out.values())
+
+
+def test_dopt_libsvm_example():
+    import ex_Dopt_LIBSVM
+
+    out = ex_Dopt_LIBSVM.start(maxitrs=40, plot=False, verbose=False)
+    assert all(F[-1] <= F[0] + 1e-9 for F in out.values())
+
+
+def test_dopt_sweep_figure():
+    import ex_Dopt_sweep
+
+    out = ex_Dopt_sweep.start(m=8, n_list=(40, 60), K=2,
+                              eps_list=(1e-3, 1e-4), num_iters=600,
+                              plot=True, verbose=False)
+    for n, r in out.items():
+        assert r["per_eps"][1e-3]["geomean"] <= r["per_eps"][1e-4]["geomean"] \
+            or np.isnan(r["per_eps"][1e-4]["geomean"])
+

@@ -77,3 +77,64 @@ def test_refresh_every_preserves_trajectory():
     # refresh cancels drift; end state must agree at DS accuracy
     assert abs(len(F1) - len(F2)) <= 2
     np.testing.assert_allclose(x1, x2, atol=1e-10)
+
+
+class TestDoubleSingleScanEngine:
+    """u_mode='ds' / precision='ds': double-single XLA scan path — f64
+    accuracy from pure f32 (no jax_enable_x64 dependence, vmappable)."""
+
+    def test_single_matches_f64_scan(self):
+        V, x0 = _problem(m=20, n=300, seed=10)
+        r64 = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=3000,
+                                verbose=False, chunk=500)
+        rds = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=3000,
+                                verbose=False, chunk=500, u_mode="ds")
+        assert len(rds[1]) == len(r64[1])
+        np.testing.assert_allclose(rds[0], np.asarray(r64[0], np.float64),
+                                   atol=1e-12)
+        assert abs(rds[2][-1] - float(r64[2][-1])) < 1e-11
+
+    def test_plain_fw_ds(self):
+        V, x0 = _problem(m=15, n=200, seed=7)
+        r64 = acc.D_opt_FW(V, x0, eps=1e-4, maxitrs=2000, verbose=False,
+                           chunk=500)
+        rds = acc.D_opt_FW(V, x0, eps=1e-4, maxitrs=2000, verbose=False,
+                           chunk=500, u_mode="ds")
+        assert len(rds[1]) == len(r64[1])
+        # plain FW at loose eps amplifies the 1e-14 path difference
+        # chaotically; same stopping iteration + 1e-7 iterates is the
+        # meaningful equivalence here
+        np.testing.assert_allclose(rds[0], np.asarray(r64[0], np.float64),
+                                   atol=1e-6)
+        assert abs(rds[2][-1] - float(r64[2][-1])) < 1e-6
+
+    def test_batch_ds_reaches_target_and_certifies(self):
+        """Batched DS sweeps: every instance reaches the slack target and a
+        FRESH f64 factorization certifies the final iterate.
+
+        Backend caveat (measured, round 2): on the real TPU the batch
+        certifies 1e-8 (K=32 of 30x1000: 32/32 at <=1e-8 in 0.94 s,
+        BASELINE.md).  Under XLA:CPU the K>=2 vmapped lowering rounds the
+        DS chains differently and the incremental state drifts to ~1e-6
+        fresh slack, so this CPU test asserts the honest CPU bar; the
+        1e-8 bar is exercised on-chip by the verify/bench drives."""
+        import jax as _jax
+
+        from accbpg_and_fw_tpu.parallel.batched import dopt_fw_batch
+
+        on_tpu = _jax.default_backend() == "tpu"
+        rng = np.random.default_rng(3)
+        K, m, n = 3, 30, 300
+        Vs = rng.standard_normal((K, m, n))
+        x0s = np.full((K, n), 1.0 / n)
+        eps = 1e-8 if on_tpu else 1e-7
+        bar = 2e-8 if on_tpu else 1e-5
+        xb, Fb, SPb, SNb = dopt_fw_batch(Vs, x0s, eps=eps, num_iters=6000,
+                                         precision="ds")
+        for kk in range(K):
+            ok = (np.asarray(SPb[kk]) <= eps) & (np.asarray(SNb[kk]) <= eps)
+            assert ok.any(), f"instance {kk} did not reach {eps}"
+            xs = xb[kk] / xb[kk].sum()
+            _, w, _ = _factorize_np(Vs[kk], xs)
+            assert w.max() / m - 1 <= bar
+            assert 1 - w[xs > 1e-8].min() / m <= bar
