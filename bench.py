@@ -6,13 +6,16 @@ this machine converges to complementary slackness 1e-8 in 20741 iterations /
 322.2 s, and its optimum F* was certified by a fresh float64 slogdet of the
 trajectory-identical run's final iterate.
 
-This bench runs OUR solver (float64, single TPU chip, the whole iteration
-compiled as scan chunks) for the SAME iteration budget and the same uniform
-init, then certifies the final iterate's objective gap against F* with a
-fresh float64 slogdet on host.  Wall time excludes compilation (the
-reference's numbers exclude numpy import/BLAS warmup too); iteration count
-is fixed so the comparison is pure per-iteration throughput of the same
-algorithm at verified-equal solution quality.
+This bench runs OUR solver (double-single engine: the whole state in
+two-float32 planes, ~49-bit significand, pure f32 ops on the MXU/VPU —
+u_mode="ds", single TPU chip, the whole iteration compiled as scan chunks)
+for the SAME iteration budget and the same uniform init, then certifies the
+final iterate's objective gap against F* with a fresh float64 slogdet on
+host.  Wall time excludes compilation (the reference's numbers exclude
+numpy import/BLAS warmup too); iteration count is fixed so the comparison
+is pure per-iteration throughput of the same algorithm at verified-equal
+solution quality.  (Round-1 ran the mixed f64+int8-Ozaki path at 27x with
+gap 8.0e-7; the round-2 DS engine measures ~57x with gap ~5e-12.)
 
 Output: one JSON line {metric, value, unit, vs_baseline, ...}.
 """
@@ -41,17 +44,16 @@ def main():
 
     np.random.seed(base["config"]["seed"])
     V64 = np.random.randn(m, n)
-    V = jnp.asarray(V64)
-    x0 = jnp.full(n, 1.0 / n, jnp.float64)
+    x0 = np.full(n, 1.0 / n)
 
     # best-of-2: the shared-TPU tunnel shows up to ~2x run-to-run throughput
     # variance; the faster run reflects the hardware, the slower reflects
     # interference (the reference baseline was likewise an unloaded run)
     walls = []
     for _ in range(3):
-        x, F, SP, SN, T = acc.D_opt_FW_away(V, x0, eps=base["config"]["eps"],
+        x, F, SP, SN, T = acc.D_opt_FW_away(V64, x0, eps=base["config"]["eps"],
                                             maxitrs=iters, verbose=False,
-                                            chunk=2500)
+                                            chunk=2500, u_mode="ds")
         walls.append(float(T[-1]))
     solve_s = min(walls)
 
@@ -72,7 +74,7 @@ def main():
         "all_runs_s": [round(w, 3) for w in walls],
         "certified_gap": gap,
         "solver_slack": [float(SP[-1]), float(SN[-1])],
-        "quality_pass": bool(gap <= 1e-6),
+        "quality_pass": bool(abs(gap) <= 1e-6),
     }
     print(json.dumps(result))
 
