@@ -148,10 +148,15 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
     in memory within a process, and (for configs with a stable identity) as
     serialized AOT executables on disk across processes.
 
-    The disk cache kills the per-process compile tax: a fresh ``python``
-    invocation of a previously-run (algorithm, shapes) solve deserializes
-    the executable in ~100 ms instead of re-tracing + (remote-)compiling
-    for 20-60 s.  Set ``ACCBPG_AOT_CACHE=0`` to disable, or point it at an
+    The disk cache kills the per-process compile tax for the CHUNK
+    executable: a fresh ``python`` invocation of a previously-run
+    (algorithm, shapes) solve deserializes it in ~0.1 s instead of
+    re-tracing + remote-compiling for 20-60 s (verified cross-process on
+    the chip: one cache entry, reused, never re-saved).  Residual
+    first-solve latency in a fresh process comes from the handful of tiny
+    EAGER ops in problem setup, each of which the axon tunnel compiles
+    remotely (seconds each under load) — keep setup in numpy where that
+    matters.  Set ``ACCBPG_AOT_CACHE=0`` to disable, or point it at an
     alternate cache directory."""
     key = (step, cfg, chunk, _aval_key(problem), _aval_key(carry))
     if key in _EXEC_CACHE:
