@@ -317,7 +317,6 @@ def run_driver(
     header: Optional[str] = None,
     print_row: Optional[Callable] = None,
     chunk: Optional[int] = None,
-    include_compile_time: bool = False,
     between_chunks: Optional[Callable] = None,
     checkpoint: Optional[str] = None,
     problem=None,

@@ -116,6 +116,15 @@ def add(x, y):
     return quick_two_sum(s1, s2)
 
 
+def add_sloppy(x, y):
+    """DS + DS, 'sloppy' variant (Dekker add2: 7 flops, depth 4).  Error
+    bound holds when the terms do not catastrophically cancel — exactly the
+    case for reduction-tree partial sums; use `add` for general operands."""
+    s, e = two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    return quick_two_sum(s, e)
+
+
 def add_f32(x, b):
     """DS + f32."""
     s1, s2 = two_sum(x[0], b)

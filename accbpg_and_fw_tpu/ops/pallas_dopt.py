@@ -120,7 +120,7 @@ def _ds_allreduce_sub(x, MP, interpret):
 
             rhi = pltpu.roll(hi, s, 0)
             rlo = pltpu.roll(lo, s, 0)
-        hi, lo = ds.add((hi, lo), (rhi, rlo))
+        hi, lo = ds.add_sloppy((hi, lo), (rhi, rlo))
         s //= 2
     return hi, lo
 

@@ -142,3 +142,31 @@ def test_iterated_rank1_style_update(rng):
         w64 = (w64 - np.float64(t) * u64 ** 2) / np.float64(omt)
         u64 = u64 * np.float64(decay)
     np.testing.assert_allclose(np.asarray(ds.to_f64(w)), w64, rtol=1e-12)
+
+
+def test_runtime_args_stay_exact():
+    """DS ops on values passed as jit ARGUMENTS must be exact.  (The
+    constant path is a documented hazard: XLA's folder nullifies EFT error
+    terms on fully-constant subgraphs — see the module docstring.)"""
+    import jax
+
+    ah, al = np.float32(14.008059), np.float32(-2.2e-07)
+    bh, bl = np.float32(0.08333334), np.float32(-2.4835269e-09)
+    want = (float(ah) + float(al)) * (float(bh) + float(bl))
+    f = jax.jit(lambda a0, a1, b0, b1: ds.mul((a0, a1), (b0, b1)))
+    out = f(ah, al, bh, bl)
+    got = float(np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64))
+    assert abs(got - want) < 1e-15
+
+
+def test_add_sloppy_reduction_accuracy(rng):
+    """Sloppy add in a reduction tree: ~1e-13 relative on random sums."""
+    a = rng.standard_normal(1024).astype(np.float64)
+    x = ds.from_f64(jnp.asarray(a))
+    hi, lo = x
+    while hi.shape[0] > 1:
+        h = hi.shape[0] // 2
+        s = ds.add_sloppy((hi[:h], lo[:h]), (hi[h:], lo[h:]))
+        hi, lo = s
+    got = float(hi[0]) + float(lo[0])
+    assert abs(got - a.sum()) <= 1e-12 * max(1.0, np.abs(a).sum())
