@@ -42,6 +42,10 @@ from . import double_single as ds
 
 _BIG_F32 = 3.0e38
 _LANE = 128
+# iterations per inner fori block: the early-stop flag crosses from the
+# vector unit to the scalar unit (a full vector-pipeline drain, ~10 us)
+# once per block, amortized to ~0.16 us/iteration
+_INNER = 64
 
 # development aid: names of kernel-body stages to skip when profiling
 # ("select", "scalars", "extract", "contract", "updates", "hist");
@@ -128,12 +132,11 @@ def _ds_allreduce_sub(x, MP, interpret):
 def _fw_kernel_body(m, MP, NP, K, away, interpret,
                     scal_ref, Vh_ref, Vl_ref,
                     xh_ref, xl_ref, wh_ref, wl_ref, Hh_ref, Hl_ref,
-                    misc_ref,
                     xh_o, xl_o, wh_o, wl_o, Hh_o, Hl_o, misc_o,
                     TAU_ref, TWV_ref, SP_ref, SN_ref):
     eps = scal_ref[0]
     xtol = scal_ref[1]
-    kmax = scal_ref[2]  # dynamic iteration budget for this launch (<= K)
+    kmax = scal_ref[2].astype(jnp.int32)  # dynamic budget this launch (<= K)
 
     Vh = Vh_ref[:]
     Vl = Vl_ref[:]
@@ -217,6 +220,7 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
         sn = sn_ds[0] + sn_ds[1]
 
         stop = (sp <= eps) & (sn <= eps)      # (1, 1) bool
+        in_budget = k < kmax                  # scalar; broadcast is cheap
 
         # ---- unified toward/away step ------------------------------------
         # toward: tau = +t_t;  away: tau = -t_a.  Then for v in {i, j}:
@@ -290,13 +294,13 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
         twv_f = twv[0] + twv[1]
 
         # freeze when the stop criterion fired (the reference breaks BEFORE
-        # applying the update, D_opt_alg.py:159-160); done stays a (1, 1)
-        # f32 vector (Mosaic cannot carry i1 vectors through scf.while) and
-        # the loop condition never reads vector state
-        run = jnp.logical_not(stop) & (done < 0.5)
+        # applying the update, D_opt_alg.py:159-160) or the budget ran out;
+        # done stays a (1, 1) f32 vector (Mosaic cannot carry i1 vectors)
+        # and only crosses to the scalar unit once per _INNER block
+        run = jnp.logical_not(stop) & (done < 0.5) & in_budget
 
         if "hist" not in A:
-            krow = laneK == k
+            krow = (laneK == k) & in_budget
             SPb = jnp.where(krow, sp, SPb)
             SNb = jnp.where(krow, sn, SNb)
             # frozen iterations record tau = twv = 0 (=> logdet increment 0)
@@ -306,30 +310,37 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
         def sel(new, old):
             return jnp.where(run, new, old)
 
-        done_new = jnp.maximum(done, jnp.where(stop, 1.0, 0.0))
+        # only in-budget checks may set done (a launch reports convergence
+        # exactly as the old kcap-bounded loop did)
+        done_new = jnp.maximum(done, jnp.where(stop & in_budget, 1.0, 0.0))
         return (k + 1, done_new,
                 sel(x_new[0], xh), sel(x_new[1], xl),
                 sel(w_new[0], wh), sel(w_new[1], wl),
                 sel(H_new[0], Hh), sel(H_new[1], Hl),
                 TAUb, TWVb, SPb, SNb)
 
-    kcap = jnp.minimum(jnp.int32(K), kmax.astype(jnp.int32))
+    # Loop structure: an inner fori block of _INNER iterations runs purely on
+    # the vector units (the per-iteration stop only freezes state through
+    # where-selects); ONCE per block the done flag crosses to the scalar unit
+    # (vector-pipeline drain, ~10 us) so the outer while can EXIT EARLY.
+    # The outer condition itself reads scalars only.
+    def outer_body(ostate):
+        k0, done_s = ostate[0], ostate[1]
+        state = (k0, jnp.full((1, 1), done_s)) + tuple(ostate[2:])
+        state = lax.fori_loop(0, _INNER, lambda i, s: body(s), state)
+        done_s2 = state[1][0, 0]  # the one vector->scalar crossing per block
+        return (state[0], done_s2) + tuple(state[2:])
 
-    def cond(state):
-        # scalar-unit-only condition: reading the vector-resident done flag
-        # here would drain the vector pipeline every iteration.  Iterations
-        # past the stop freeze via where-selects; the host truncates from
-        # the recorded slack rows.
-        return state[0] < kcap
+    def outer_cond(ostate):
+        return (ostate[0] < kmax) & (ostate[1] < 0.5)
 
     zero_hist = jnp.zeros((1, K), jnp.float32)
-    done0 = jnp.full((1, 1), misc_ref[0])  # one scalar read per launch
-    init = (jnp.int32(0), done0,
+    init = (jnp.int32(0), scal_ref[3],  # prior done flag (scalar read)
             xh_ref[:], xl_ref[:], wh_ref[:], wl_ref[:],
             Hh_ref[:], Hl_ref[:],
             zero_hist, zero_hist, zero_hist, zero_hist)
-    out = lax.while_loop(cond, body, init)
-    (k, done, xh, xl, wh, wl, Hh, Hl, TAUb, TWVb, SPb, SNb) = out
+    out = lax.while_loop(outer_cond, outer_body, init)
+    (k, done_s, xh, xl, wh, wl, Hh, Hl, TAUb, TWVb, SPb, SNb) = out
 
     xh_o[:] = xh
     xl_o[:] = xl
@@ -337,9 +348,9 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
     wl_o[:] = wl
     Hh_o[:] = Hh
     Hl_o[:] = Hl
-    # single vector->scalar crossing per LAUNCH (not per iteration)
-    misc_o[0] = done[0, 0]
-    misc_o[1] = k.astype(jnp.float32)  # rows launched; host finds the stop
+    misc_o[0] = done_s
+    # rows that count toward the budget; the host finds the stopping row
+    misc_o[1] = jnp.minimum(k, kmax).astype(jnp.float32)
     TAU_ref[:] = TAUb
     TWV_ref[:] = TWVb
     SP_ref[:] = SPb
@@ -369,8 +380,8 @@ def _build_chunk_fn(m, MP, NP, K, away, interpret):
             jax.ShapeDtypeStruct((1, K), f32),    # SN
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (eps, xtol, kmax)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # Vh
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scal (eps, xtol, kmax,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # Vh      prior done)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Vl
             pl.BlockSpec(memory_space=pltpu.VMEM),   # xh
             pl.BlockSpec(memory_space=pltpu.VMEM),   # xl
@@ -378,7 +389,6 @@ def _build_chunk_fn(m, MP, NP, K, away, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wl
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Hh
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Hl
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # misc
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -438,24 +448,31 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
     m, n = V64.shape
     x64 = np.asarray(x0, np.float64)
     if chunk is None:
-        chunk = 2048
+        chunk = 8192
     MP = _next_pow2(max(m, 8))
     NP = -(-n // _LANE) * _LANE
-    K = int(chunk)
+    K = -(-int(chunk) // _INNER) * _INNER  # round up to the block size
 
+    # Everything device-resident: through the axon tunnel every host<->device
+    # round trip costs ~30 ms — more than the COMPUTE of an entire 5000-
+    # iteration 30x1000 solve (~12 ms at ~2.2 us/iteration).  The launch loop
+    # keeps (x, w, H) on device, feeds outputs straight back in, and fetches
+    # per launch a single device_get of (misc, histories, x planes).
     Vp = _pad2(V64, (MP, NP))
-    Vh, Vl = _split64(Vp)
+    Vh, Vl = (jnp.asarray(a) for a in _split64(Vp))
     H, w, logdet = _factorize_np(V64, x64)
+    xs = _split64(_pad2(x64[None, :], (1, NP)))
+    wsp = _split64(_pad2(w[None, :], (1, NP)))
+    Hsp = _split64(_pad2(H, (MP, MP)))
     state = {
-        "x": _split64(_pad2(x64[None, :], (1, NP))),
-        "w": _split64(_pad2(w[None, :], (1, NP))),
-        "H": _split64(_pad2(H, (MP, MP))),
+        "x": tuple(jnp.asarray(a) for a in xs),
+        "w": tuple(jnp.asarray(a) for a in wsp),
+        "H": tuple(jnp.asarray(a) for a in Hsp),
         "ld": logdet,
         "done": 0.0,
     }
 
     fn = _build_chunk_fn(m, MP, NP, K, bool(away), bool(interpret))
-    scal = np.array([eps, 1.0e-8, 0.0], np.float32)
 
     if verbose:
         name = ("Frank-Wolfe method with away steps" if away
@@ -468,14 +485,23 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
     t0 = time.time()
     k_done = 0
     since_refresh = 0
+    scal_dev = None
+    scal_val = None
+    xh, xl = xs  # final-x fallback when maxitrs == 0
     while k_done < maxitrs:
-        scal[2] = min(K, maxitrs - k_done)
-        out = fn(jnp.asarray(scal), Vh, Vl,
+        scal = (np.float32(eps), np.float32(1.0e-8),
+                np.float32(min(K, maxitrs - k_done)), np.float32(0.0))
+        if scal != scal_val:  # reuse the device copy across launches
+            scal_dev = jnp.asarray(np.array(scal, np.float32))
+            scal_val = scal
+        out = fn(scal_dev, Vh, Vl,
                  state["x"][0], state["x"][1], state["w"][0], state["w"][1],
-                 state["H"][0], state["H"][1],
-                 jnp.asarray(np.array([state["done"], 0.0], np.float32)))
-        out = [np.asarray(o) for o in jax.block_until_ready(out)]
-        (xh, xl, wh, wl, Hh, Hl, misc, TAUb, TWVb, SPb, SNb) = out
+                 state["H"][0], state["H"][1])
+        (xh_d, xl_d, wh_d, wl_d, Hh_d, Hl_d,
+         misc_d, TAU_d, TWV_d, SP_d, SN_d) = out
+        # ONE round trip for everything the host needs; H/w stay on device
+        (misc, TAUb, TWVb, SPb, SNb, xh, xl) = jax.device_get(
+            (misc_d, TAU_d, TWV_d, SP_d, SN_d, xh_d, xl_d))
         t_b = time.time() - t0
         launched = int(misc[1])
         # the loop no longer early-exits on the stop flag (that would read
@@ -510,7 +536,9 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
                           .format(kk, F_parts[-1][jrow], SP_parts[-1][jrow],
                                   SN_parts[-1][jrow], T_parts[-1][jrow]))
 
-        state["x"], state["w"], state["H"] = (xh, xl), (wh, wl), (Hh, Hl)
+        state["x"] = (xh_d, xl_d)
+        state["w"] = (wh_d, wl_d)
+        state["H"] = (Hh_d, Hl_d)
         state["done"] = float(misc[0])
         k_done += nv
         since_refresh += nv
@@ -520,13 +548,15 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
             x64c = (xh[0, :n].astype(np.float64)
                     + xl[0, :n].astype(np.float64))
             H, w, logdet = _factorize_np(V64, x64c)
-            state["w"] = _split64(_pad2(w[None, :], (1, NP)))
-            state["H"] = _split64(_pad2(H, (MP, MP)))
+            state["w"] = tuple(
+                jnp.asarray(a) for a in _split64(_pad2(w[None, :], (1, NP))))
+            state["H"] = tuple(
+                jnp.asarray(a) for a in _split64(_pad2(H, (MP, MP))))
             state["ld"] = logdet
             since_refresh = 0
 
-    x_out = (state["x"][0][0, :n].astype(np.float64)
-             + state["x"][1][0, :n].astype(np.float64))
+    # the final x planes were already fetched in the last launch round trip
+    x_out = xh[0, :n].astype(np.float64) + xl[0, :n].astype(np.float64)
     F = np.concatenate(F_parts) if F_parts else np.zeros(0)
     SP = np.concatenate(SP_parts) if SP_parts else np.zeros(0)
     SN = np.concatenate(SN_parts) if SN_parts else np.zeros(0)
