@@ -446,6 +446,19 @@ def _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
 
 def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
               refresh_every, header, checkpoint=None, u_mode="auto"):
+    if u_mode == "pallas":
+        # whole-iteration fused kernel (ops/pallas_dopt.py): double-single
+        # precision, ~10.7 us/iteration independent of n; single-chip,
+        # V must fit in VMEM (m*n up to ~1.5M entries); no checkpointing.
+        if checkpoint is not None:
+            raise ValueError("u_mode='pallas' does not support checkpoints; "
+                             "use u_mode='ds' for resumable runs")
+        from ..ops.pallas_dopt import dopt_fw_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return dopt_fw_pallas(V, x0, eps, maxitrs, away=away, verbose=verbose,
+                              verbskip=verbskip, chunk=chunk,
+                              refresh_every=refresh_every, interpret=interpret)
     if u_mode == "ds":
         return _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk,
                             away, refresh_every, header,
@@ -494,6 +507,13 @@ def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
     """Khachiyan Frank-Wolfe for D-optimal design on the simplex with rank-1
     Sherman-Morrison updates of H = (V diag(x) V^T)^{-1} and w = -gradient
     (reference: D_opt_alg.py:9-88).  Returns ``(x, F, SP, SN, T)``.
+
+    ``u_mode`` selects the engine/precision: "exact" (native dtype),
+    "mixed" (int8-Ozaki w-updates for f64 inputs), "auto" (mixed iff f64
+    on TPU), "ds" (double-single scan: f64-grade trajectories from pure
+    f32), or "pallas" (whole-iteration fused kernel, double-single,
+    ~10.7 us/iter for VMEM-resident problems — the fastest engine for
+    small/medium single instances).
     """
     header = ("\nSolving D-opt design problem using Frank-Wolfe method\n"
               "     k      F(x)     pos_slack   neg_slack    time")
@@ -506,7 +526,7 @@ def D_opt_FW_away(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
                   refresh_every=0, checkpoint=None, u_mode="auto"):
     """Wolfe-Atwood method: Frank-Wolfe with away steps for D-optimal design
     (linearly convergent; reference: D_opt_alg.py:91-185).
-    Returns ``(x, F, SP, SN, T)``.
+    Returns ``(x, F, SP, SN, T)``.  ``u_mode``: see ``D_opt_FW``.
     """
     header = ("\nSolving D-opt design problem using Frank-Wolfe method with away steps\n"
               "     k      F(x)     pos_slack   neg_slack    time")

@@ -138,3 +138,19 @@ class TestDoubleSingleScanEngine:
             _, w, _ = _factorize_np(Vs[kk], xs)
             assert w.max() / m - 1 <= bar
             assert 1 - w[xs > 1e-8].min() / m <= bar
+
+
+def test_public_api_pallas_engine():
+    """u_mode='pallas' on D_opt_FW(_away) dispatches to the fused kernel
+    (interpreter off-TPU) and reproduces the f64 scan trajectory."""
+    V, x0 = _problem(m=16, n=250, seed=11)
+    r64 = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=2500, verbose=False,
+                            chunk=500)
+    rp = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=2500, verbose=False,
+                           chunk=512, u_mode="pallas")
+    assert len(rp[1]) == len(r64[1])
+    np.testing.assert_allclose(rp[0], np.asarray(r64[0], np.float64),
+                               atol=1e-12)
+    with pytest.raises(ValueError):
+        acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=10, verbose=False,
+                          u_mode="pallas", checkpoint="/tmp/nope.npz")
