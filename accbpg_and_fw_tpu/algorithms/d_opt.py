@@ -262,12 +262,21 @@ def _dopt_step_ds(cfg, prob, c, k):
 
     Vi = (lax.dynamic_index_in_dim(Vds[0], v, axis=1, keepdims=False),
           lax.dynamic_index_in_dim(Vds[1], v, axis=1, keepdims=False))
-    HVi = dsa.sum_along(dsa.mul(H, (Vi[0][None, :], Vi[1][None, :])), 1)
-    u = dsa.sum_along(dsa.mul((HVi[0][:, None], HVi[1][:, None]), Vds), 0)
+    # DS contractions via ops/double_single.contract (f32 cross terms +
+    # sloppy partial sums).  Measured ~7% faster than mul + sum_along at
+    # m=1000, n=5000 on TPU — XLA already sinks the broadcast-side splits,
+    # so the hoisting mostly matters for the Pallas path — at the same
+    # ~1e-13 accuracy
+    HVi = dsa.contract(Vi, H, 1)
+    u = dsa.contract(HVi, Vds, 0)
     # consistency pin u[v] = w[v] (see _dopt_step)
     u = (u[0].at[v].set(wv[0]), u[1].at[v].set(wv[1]))
 
     w_new = dsa.mul(dsa.sub(w, dsa.mul(c_, dsa.sq(u))), r_tau)
+    # Keep the factored (H - c*outer)*r_tau form: the distributive
+    # H*r_tau - (c*r_tau)(Hv)(Hv)^T variant with hoisted-split outer was
+    # MEASURED SLOWER on TPU (42 vs 35 us/iter at m=1000 — XLA fuses the
+    # factored chain better and already sinks the broadcast splits)
     outer = dsa.mul((HVi[0][:, None], HVi[1][:, None]),
                     (HVi[0][None, :], HVi[1][None, :]))
     H_new = dsa.mul(dsa.sub(H, dsa.mul(c_, outer)), r_tau)

@@ -170,3 +170,30 @@ def test_add_sloppy_reduction_accuracy(rng):
         hi, lo = s
     got = float(hi[0]) + float(lo[0])
     assert abs(got - a.sum()) <= 1e-12 * max(1.0, np.abs(a).sum())
+
+
+def test_contract_matches_f64(rng):
+    """Hoisted-split DS contraction vs f64 ground truth, both axes."""
+    m, n = 37, 211  # odd sizes exercise the remainder path of sum_along
+    a64 = rng.standard_normal(m) * np.exp(rng.standard_normal(m))
+    B64 = rng.standard_normal((m, n)) * np.exp(rng.standard_normal((m, n)))
+    a = ds.from_f64(jnp.asarray(a64))
+    B = ds.from_f64(jnp.asarray(B64))
+    u = np.asarray(ds.to_f64(ds.contract(a, B, 0)))
+    want = a64 @ B64
+    np.testing.assert_allclose(u, want, rtol=0, atol=5e-13 * np.abs(want).max())
+
+    C64 = B64.T.copy()
+    C = ds.from_f64(jnp.asarray(C64))
+    v = np.asarray(ds.to_f64(ds.contract(a, C, 1)))
+    np.testing.assert_allclose(v, C64 @ a64, rtol=0,
+                               atol=5e-13 * np.abs(want).max())
+
+
+def test_outer_matches_f64(rng):
+    c64 = rng.standard_normal(33) * np.exp(rng.standard_normal(33))
+    r64 = rng.standard_normal(65) * np.exp(rng.standard_normal(65))
+    O = np.asarray(ds.to_f64(ds.outer(ds.from_f64(jnp.asarray(c64)),
+                                      ds.from_f64(jnp.asarray(r64)))))
+    want = np.outer(c64, r64)
+    np.testing.assert_allclose(O, want, rtol=3e-14)
