@@ -46,6 +46,12 @@ _LANE = 128
 # vector unit to the scalar unit (a full vector-pipeline drain, ~10 us)
 # once per block, amortized to ~0.16 us/iteration
 _INNER = 64
+# batch kernel: iterations per inner block = history-flush granularity.
+# Histories live in (B, 1, _ROLL) rolling carry buffers and flush to the
+# big (B, 1, K) output refs once per block at a _ROLL-aligned lane offset
+# (Mosaic requires 128-aligned dynamic lane offsets; carrying the full
+# K-sized buffers through the loops blew the 16 MB scoped-VMEM budget).
+_ROLL = 128
 
 # development aid: names of kernel-body stages to skip when profiling
 # ("select", "scalars", "extract", "contract", "updates", "hist");
@@ -562,3 +568,440 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
     SN = np.concatenate(SN_parts) if SN_parts else np.zeros(0)
     T = np.concatenate(T_parts) if T_parts else np.zeros(0)
     return x_out, F, SP, SN, T
+
+
+# --------------------------------------------------------------------------
+# Batched-instance kernel: K sweep instances advance in LOCKSTEP inside one
+# kernel, sharing every per-iteration op.  The single-instance kernel is
+# op-count-bound (~10.7 us/iteration regardless of n), so running B
+# instances as a leading array dimension amortizes that floor ~B ways —
+# this is the TPU equivalent of the reference's sequential repeat loops
+# (SURVEY.md §6, ipynb/ABPGvsFW/ex_Dopt_FW_m80.ipynb:cell3) at sweep
+# scales (m ~ 30-80, n ~ 200-2000).
+#
+# Layout: V (B, MP, NP), H (B, MP, MP), x/w (B, 1, NP), every "scalar" a
+# (B, 1, 1) vector value.  Selection reduces over lanes (axis 2); the
+# HVi / u contractions reduce over the padded-m axis 1 — halving static
+# slices while the extent exceeds one 8-row f32 tile (contiguous
+# tile-aligned slices are views: ~2N work vs the butterfly's N log N),
+# then a 3-round butterfly on the final 8 rows.  Per-instance freeze via
+# (B, 1, 1) done flags; the ONLY vector->scalar crossing is min(done)
+# once per _INNER block for the early exit.
+# --------------------------------------------------------------------------
+
+
+def _ds_allreduce_ax1(x, MP, interpret):
+    """Butterfly all-reduce of a (B, MP, X) DS array along axis 1."""
+    hi, lo = x
+    s = MP // 2
+    while s >= 1:
+        if interpret:
+            rhi = jnp.roll(hi, s, axis=1)
+            rlo = jnp.roll(lo, s, axis=1)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            rhi = pltpu.roll(hi, s, 1)
+            rlo = pltpu.roll(lo, s, 1)
+        hi, lo = ds.add_sloppy((hi, lo), (rhi, rlo))
+        s //= 2
+    return hi, lo
+
+
+def _ds_rowdot(col, V, MP, interpret):
+    """DS contraction ``sum_r col[:, r] * V[:, r, :]`` -> (B, 1, NP).
+
+    Row-blocked: 8-row slabs are multiplied and folded sequentially so the
+    peak VMEM footprint is one slab of two_prod temporaries, not the full
+    (B, MP, NP) DS product (which blew the 16 MB scoped-vmem budget at
+    group >= 11); a 3-round butterfly finishes the last 8 rows."""
+    ch, cl = col
+    Vh, Vl = V
+    acc = None
+    for r0 in range(0, MP, 8):
+        blk = ds.mul((ch[:, r0:r0 + 8, :], cl[:, r0:r0 + 8, :]),
+                     (Vh[:, r0:r0 + 8, :], Vl[:, r0:r0 + 8, :]))
+        acc = blk if acc is None else ds.add_sloppy(acc, blk)
+    hi, lo = acc
+    s = 4
+    while s >= 1:
+        if interpret:
+            rhi = jnp.roll(hi, s, axis=1)
+            rlo = jnp.roll(lo, s, axis=1)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            rhi = pltpu.roll(hi, s, 1)
+            rlo = pltpu.roll(lo, s, 1)
+        hi, lo = ds.add_sloppy((hi, lo), (rhi, rlo))
+        s //= 2
+    return hi[:, 0:1, :], lo[:, 0:1, :]
+
+
+def _fw_kernel_body_b(m, MP, NP, K, B, away, interpret,
+                      scal_ref, Vh_ref, Vl_ref,
+                      xh_ref, xl_ref, wh_ref, wl_ref, Hh_ref, Hl_ref,
+                      dh_ref,
+                      xh_o, xl_o, wh_o, wl_o, Hh_o, Hl_o, dh_o, misc_o,
+                      TAU_ref, TWV_ref, SP_ref, SN_ref):
+    eps = scal_ref[0]
+    xtol = scal_ref[1]
+    kmax = scal_ref[2].astype(jnp.int32)
+
+    Vh = Vh_ref[:]
+    Vl = Vl_ref[:]
+    V = (Vh, Vl)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, NP), 2)
+    laneR = lax.broadcasted_iota(jnp.int32, (1, 1, _ROLL), 2)
+    rr = lax.broadcasted_iota(jnp.int32, (1, MP, MP), 1)
+    cc = lax.broadcasted_iota(jnp.int32, (1, MP, MP), 2)
+    diag = rr == cc
+    m_f = jnp.float32(m)
+    inv_m_hi = np.float32(1.0 / m)
+    inv_m_lo = np.float32(1.0 / m - float(inv_m_hi))
+    inv_m = (jnp.float32(inv_m_hi), jnp.float32(inv_m_lo))
+
+    def body(state):
+        (k, done, xh, xl, wh, wl, Hh, Hl, TAUb, TWVb, SPb, SNb) = state
+        x = (xh, xl)
+        w = (wh, wl)
+        H = (Hh, Hl)
+
+        # toward candidate per instance: DS argmax over lanes
+        wmax_hi = jnp.max(wh, axis=2, keepdims=True)
+        cand = wh == wmax_hi
+        wmax_lo = jnp.max(jnp.where(cand, wl, -_BIG_F32), axis=2,
+                          keepdims=True)
+        cand2 = cand & (wl == wmax_lo)
+        imin = jnp.min(jnp.where(cand2, lane, NP + 1), axis=2, keepdims=True)
+        imask = lane == imin
+        wi = (wmax_hi, wmax_lo)
+
+        if away:
+            mask = xh > xtol
+            wwh, wwl = ds.sub(w, wi)
+            mwh = jnp.where(mask, wwh, 0.0)
+            mwl = jnp.where(mask, wwl, 0.0)
+            mmin_hi = jnp.min(mwh, axis=2, keepdims=True)
+            candj = mwh == mmin_hi
+            mmin_lo = jnp.min(jnp.where(candj, mwl, _BIG_F32), axis=2,
+                              keepdims=True)
+            candj2 = candj & (mwl == mmin_lo)
+            jmin = jnp.min(jnp.where(candj2, lane, NP + 1), axis=2,
+                           keepdims=True)
+            jmask = lane == jmin
+            wj = ds.add((mmin_hi, mmin_lo), wi)
+        else:
+            mask = xh > 0.0
+            wmin_hi = jnp.min(jnp.where(mask, wh, _BIG_F32), axis=2,
+                              keepdims=True)
+            candj = mask & (wh == wmin_hi)
+            wmin_lo = jnp.min(jnp.where(candj, wl, _BIG_F32), axis=2,
+                              keepdims=True)
+            wj = (wmin_hi, wmin_lo)
+            jmask = imask
+
+        sp_ds = ds.mul(ds.add_f32(wi, -m_f), inv_m)
+        sn_ds = ds.mul(ds.add_f32(ds.neg(wj), m_f), inv_m)
+        sp = sp_ds[0] + sp_ds[1]
+        sn = sn_ds[0] + sn_ds[1]
+        stop = (sp <= eps) & (sn <= eps)      # (B, 1, 1)
+        in_budget = k < kmax
+
+        t_t = _ds_div_fast(sp_ds, ds.add_f32(wi, -1.0), interpret)
+        if away:
+            xj = (jnp.sum(jnp.where(jmask, xh, 0.0), axis=2, keepdims=True),
+                  jnp.sum(jnp.where(jmask, xl, 0.0), axis=2, keepdims=True))
+            a1 = _ds_div_fast(sn_ds, ds.add_f32(wj, -1.0), interpret)
+            a2 = _ds_div_fast(xj, ds.add_f32(ds.neg(xj), 1.0), interpret)
+            use_a1 = ds.lt(a1, a2)
+            t_a = ds.where(use_a1, a1, a2)
+            toward = sp >= sn
+            vmask = (toward & imask) | (jnp.logical_not(toward) & jmask)
+            wv = ds.where(toward, wi, wj)
+            tau = ds.where(toward, t_t, ds.neg(t_a))
+            # boundary away step drops coordinate j: zero it EXACTLY (the
+            # DS residual otherwise parks ghost coords at the 1e-8 support
+            # threshold; see _dopt_step_ds)
+            drop = jnp.logical_not(toward) & jnp.logical_not(use_a1)
+        else:
+            vmask = imask
+            wv = wi
+            tau = t_t
+            drop = sp < -1.0  # (B, 1, 1) all-False
+
+        wv_m1 = ds.add_f32(wv, -1.0)
+        c_ = _ds_div_fast(tau, ds.add_f32(ds.mul(tau, wv_m1), 1.0), interpret)
+        one_m_tau = ds.add_f32(ds.neg(tau), 1.0)
+        one_ds = (jnp.ones_like(sp), jnp.zeros_like(sp))
+        r_tau = _ds_div_fast(one_ds, one_m_tau, interpret)
+
+        Vi = (jnp.sum(jnp.where(vmask, Vh, 0.0), axis=2, keepdims=True),
+              jnp.sum(jnp.where(vmask, Vl, 0.0), axis=2, keepdims=True))
+        # R[b, r, c] = sum_r' H[b, r', c] Vi[b, r'] = (H Vi)[b, c] in every
+        # row (H symmetric); row/col forms without a transpose
+        R = _ds_allreduce_ax1(ds.mul(H, Vi), MP, interpret)
+        HVi_row = (R[0][:, 0:1, :], R[1][:, 0:1, :])
+        HVi_col = (jnp.sum(jnp.where(diag, R[0], 0.0), axis=2, keepdims=True),
+                   jnp.sum(jnp.where(diag, R[1], 0.0), axis=2, keepdims=True))
+
+        u = _ds_rowdot(HVi_col, V, MP, interpret)
+        u = ds.where(vmask, wv, u)  # consistency pin u[v] == w[v]
+
+        w_new = ds.mul(ds.sub(w, ds.mul(c_, ds.sq(u))), r_tau)
+        # Mosaic can't broadcast a 3D (B,1,1) into both sublanes AND lanes
+        # in one op, and chained vector.broadcasts refold at the MLIR level,
+        # so no (B,1,1) scalar may meet an (B,MP,MP) operand.  Reassociate
+        # H_new = H*r_tau - (c*r_tau)*(HVi_col x HVi_row): the rank-1 term
+        # folds its scalars into the (B,MP,1) column factor; r_tau reaches
+        # H as a lane-replicated (B,1,MP) row built by an unfoldable add
+        # with an exact-zero row (x*0 is not folded for floats).
+        zrow = H[0][:, 0:1, :] * 0.0                      # (B, 1, MP)
+        r_row = (r_tau[0] + zrow, r_tau[1] + zrow)
+        a_col = ds.mul(ds.mul(c_, r_tau), HVi_col)        # (B, MP, 1)
+        H_new = ds.sub(ds.mul(H, r_row), ds.mul(a_col, HVi_row))
+        xs = ds.mul(x, one_m_tau)
+        zero = jnp.zeros_like(sp)
+        stepped = ds.where(drop, (zero, zero), ds.add(xs, tau))
+        x_new = ds.where(vmask, stepped, xs)
+
+        tau_f = tau[0] + tau[1]
+        twv = ds.mul(tau, wv_m1)
+        twv_f = twv[0] + twv[1]
+
+        run = jnp.logical_not(stop) & (done < 0.5) & in_budget  # (B, 1, 1)
+
+        krow = (laneR == (k % _ROLL)) & in_budget
+        SPb = jnp.where(krow, sp, SPb)
+        SNb = jnp.where(krow, sn, SNb)
+        TAUb = jnp.where(krow & run, tau_f, TAUb)
+        TWVb = jnp.where(krow & run, twv_f, TWVb)
+
+        def sel(new, old):
+            return jnp.where(run, new, old)
+
+        run_row = jnp.where(run, 1.0, 0.0) + zrow         # (B, 1, MP)
+
+        def selH(new, old):
+            return jnp.where(run_row > 0.5, new, old)
+
+        done_new = jnp.maximum(done, jnp.where(stop & in_budget, 1.0, 0.0))
+        return (k + 1, done_new,
+                sel(x_new[0], xh), sel(x_new[1], xl),
+                sel(w_new[0], wh), sel(w_new[1], wl),
+                selH(H_new[0], Hh), selH(H_new[1], Hl),
+                TAUb, TWVb, SPb, SNb)
+
+    def outer_body(ostate):
+        from jax.experimental import pallas as pl
+
+        (k0, _ad, done, xh, xl, wh, wl, Hh, Hl) = ostate
+        zr = jnp.zeros((B, 1, _ROLL), jnp.float32)
+        state = (k0, done, xh, xl, wh, wl, Hh, Hl, zr, zr, zr, zr)
+        state = lax.fori_loop(0, _ROLL, lambda i, s: body(s), state)
+        (k, done, xh, xl, wh, wl, Hh, Hl, TAUr, TWVr, SPr, SNr) = state
+        off = k0 if interpret else pl.multiple_of(k0, _ROLL)
+        TAU_ref[:, :, pl.ds(off, _ROLL)] = TAUr
+        TWV_ref[:, :, pl.ds(off, _ROLL)] = TWVr
+        SP_ref[:, :, pl.ds(off, _ROLL)] = SPr
+        SN_ref[:, :, pl.ds(off, _ROLL)] = SNr
+        all_done = jnp.min(done)  # one vector->scalar crossing per block
+        return (k, all_done, done, xh, xl, wh, wl, Hh, Hl)
+
+    def outer_cond(ostate):
+        return (ostate[0] < kmax) & (ostate[1] < 0.5)
+
+    done0 = dh_ref[:]
+    init = (jnp.int32(0), jnp.min(done0), done0,
+            xh_ref[:], xl_ref[:], wh_ref[:], wl_ref[:],
+            Hh_ref[:], Hl_ref[:])
+    out = lax.while_loop(outer_cond, outer_body, init)
+    (k, _alld, done_vec, xh, xl, wh, wl, Hh, Hl) = out
+
+    xh_o[:] = xh
+    xl_o[:] = xl
+    wh_o[:] = wh
+    wl_o[:] = wl
+    Hh_o[:] = Hh
+    Hl_o[:] = Hl
+    dh_o[:] = done_vec
+    misc_o[0] = jnp.minimum(k, kmax).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_chunk_fn_b(m, MP, NP, K, B, away, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_fw_kernel_body_b, m, MP, NP, K, B, away,
+                               interpret)
+    f32 = jnp.float32
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, NP), f32),   # xh
+            jax.ShapeDtypeStruct((B, 1, NP), f32),   # xl
+            jax.ShapeDtypeStruct((B, 1, NP), f32),   # wh
+            jax.ShapeDtypeStruct((B, 1, NP), f32),   # wl
+            jax.ShapeDtypeStruct((B, MP, MP), f32),  # Hh
+            jax.ShapeDtypeStruct((B, MP, MP), f32),  # Hl
+            jax.ShapeDtypeStruct((B, 1, 1), f32),    # done flags
+            jax.ShapeDtypeStruct((1,), f32),         # misc: niter
+            jax.ShapeDtypeStruct((B, 1, K), f32),    # TAU
+            jax.ShapeDtypeStruct((B, 1, K), f32),    # TWV
+            jax.ShapeDtypeStruct((B, 1, K), f32),    # SP
+            jax.ShapeDtypeStruct((B, 1, K), f32),    # SN
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]  # eps, xtol, kmax
+        + [vm] * 9,
+        out_specs=(vm, vm, vm, vm, vm, vm, vm,
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   vm, vm, vm, vm),
+        # the default 16 MB scoped-vmem cap is a compiler knob, not the
+        # physical limit; the (B,1,NP) values pad their singleton sublane
+        # 8x on the stack, so grant headroom up to the hardware's VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+def dopt_fw_pallas_batch(Vs, x0s, eps, maxitrs, away=True, verbose=False,
+                         chunk=None, refresh_every=0, interpret=False,
+                         group=None):
+    """Batch of D-opt FW(-away) instances in lockstep inside the fused
+    Pallas kernel (double-single precision).  TPU-native equivalent of the
+    reference's sequential sweep loops; same return contract as
+    ``parallel.batched.dopt_fw_batch``: ``(x, F, SP, SN)`` with leading
+    batch axis (instances that stop early freeze and their history rows
+    repeat the stopping values).
+
+    ``group``: instances per kernel launch — bounded by the ~16 MB scoped
+    VMEM (the V planes plus the (B, MP, NP) DS reduce intermediates cost
+    ~4.5 MP*NP doubles per instance; measured: 16 instances of 30x1000 hit
+    17.2 MB).  Default auto-sizes to fit; groups run sequentially.
+    """
+    Vs64 = np.asarray(Vs, np.float64)
+    Kinst, m, n = Vs64.shape
+    x0s64 = np.asarray(x0s, np.float64)
+    if chunk is None:
+        chunk = 4096
+    MP = _next_pow2(max(m, 8))
+    NP = -(-n // _LANE) * _LANE
+    KB = -(-int(chunk) // _ROLL) * _ROLL
+    if group is None:
+        # measured on v5e (30x1000): B=16 is the throughput sweet spot
+        # (0.407 s vs 2x0.43 at B=8 and 1.22 s at B=32 for the same 16/32
+        # instances — per-op cost grows with B once ops stop being
+        # overhead-bound); VMEM caps the rest (~90 MB budget under the
+        # raised compiler limit).
+        per_inst = (4.5 * MP * NP + 8 * MP * MP + 8 * NP) * 8.0
+        group = max(1, min(Kinst, 16, int(90e6 // per_inst)))
+
+    xs_out = np.zeros((Kinst, n))
+    F_groups, SP_groups, SN_groups = [], [], []
+    for g0 in range(0, Kinst, group):
+        gi = list(range(g0, min(g0 + group, Kinst)))
+        B = len(gi)
+        Vp = np.zeros((B, MP, NP))
+        ld0 = np.zeros(B)
+        xh = np.zeros((B, 1, NP), np.float32)
+        xl = np.zeros_like(xh)
+        wh = np.zeros_like(xh)
+        wl = np.zeros_like(xh)
+        Hh = np.zeros((B, MP, MP), np.float32)
+        Hl = np.zeros_like(Hh)
+        for b, kk in enumerate(gi):
+            Vp[b, :m, :n] = Vs64[kk]
+            H, w, logdet = _factorize_np(Vs64[kk], x0s64[kk])
+            ld0[b] = logdet
+            xh[b, 0, :n], xl[b, 0, :n] = _split64(x0s64[kk])
+            wh[b, 0, :n], wl[b, 0, :n] = _split64(w)
+            Hh[b, :m, :m], Hl[b, :m, :m] = _split64(H)
+        Vh_d, Vl_d = (jnp.asarray(a) for a in _split64(Vp))
+        state = {
+            "x": (jnp.asarray(xh), jnp.asarray(xl)),
+            "w": (jnp.asarray(wh), jnp.asarray(wl)),
+            "H": (jnp.asarray(Hh), jnp.asarray(Hl)),
+            "done": jnp.zeros((B, 1, 1), jnp.float32),
+            "ld": ld0.copy(),
+        }
+        fn = _build_chunk_fn_b(m, MP, NP, KB, B, bool(away), bool(interpret))
+
+        F_parts, SP_parts, SN_parts = [], [], []
+        k_done = 0
+        since_refresh = 0
+        xh_h, xl_h = xh, xl
+        while k_done < maxitrs:
+            scal = jnp.asarray(np.array(
+                [eps, 1.0e-8, min(KB, maxitrs - k_done)], np.float32))
+            out = fn(scal, Vh_d, Vl_d,
+                     state["x"][0], state["x"][1],
+                     state["w"][0], state["w"][1],
+                     state["H"][0], state["H"][1], state["done"])
+            (xh_d, xl_d, wh_d, wl_d, Hh_d, Hl_d, dn_d, misc_d,
+             TAU_d, TWV_d, SP_d, SN_d) = out
+            (misc, dn, TAUb, TWVb, SPb, SNb, xh_h, xl_h) = jax.device_get(
+                (misc_d, dn_d, TAU_d, TWV_d, SP_d, SN_d, xh_d, xl_d))
+            nv = int(misc[0])
+            if nv == 0:
+                break
+            tau_rows = TAUb[:, 0, :nv].astype(np.float64)
+            twv_rows = TWVb[:, 0, :nv].astype(np.float64)
+            incs = (m - 1.0) * np.log1p(-tau_rows) + np.log1p(twv_rows)
+            csum = np.cumsum(incs, axis=1)
+            ld_rows = state["ld"][:, None] + np.concatenate(
+                [np.zeros((B, 1)), csum[:, :-1]], axis=1)
+            state["ld"] = state["ld"] + csum[:, -1]
+            F_parts.append(-ld_rows)
+            SP_parts.append(SPb[:, 0, :nv])
+            SN_parts.append(SNb[:, 0, :nv])
+
+            state["x"] = (xh_d, xl_d)
+            state["w"] = (wh_d, wl_d)
+            state["H"] = (Hh_d, Hl_d)
+            state["done"] = dn_d
+            k_done += nv
+            since_refresh += nv
+            if dn.min() > 0.5:
+                break
+            if refresh_every and since_refresh >= refresh_every:
+                x_now = (xh_h[:, 0, :n].astype(np.float64)
+                         + xl_h[:, 0, :n].astype(np.float64))
+                wh2 = np.zeros_like(wh)
+                wl2 = np.zeros_like(wl)
+                Hh2 = np.zeros_like(Hh)
+                Hl2 = np.zeros_like(Hl)
+                for b, kk in enumerate(gi):
+                    Hn, wn, ldn = _factorize_np(Vs64[kk], x_now[b])
+                    wh2[b, 0, :n], wl2[b, 0, :n] = _split64(wn)
+                    Hh2[b, :m, :m], Hl2[b, :m, :m] = _split64(Hn)
+                    state["ld"][b] = ldn
+                state["w"] = (jnp.asarray(wh2), jnp.asarray(wl2))
+                state["H"] = (jnp.asarray(Hh2), jnp.asarray(Hl2))
+                since_refresh = 0
+
+        xs_out[gi] = (xh_h[:, 0, :n].astype(np.float64)
+                      + xl_h[:, 0, :n].astype(np.float64))
+        F_groups.append(np.concatenate(F_parts, axis=1) if F_parts
+                        else np.zeros((B, 0)))
+        SP_groups.append(np.concatenate(SP_parts, axis=1) if SP_parts
+                         else np.zeros((B, 0)))
+        SN_groups.append(np.concatenate(SN_parts, axis=1) if SN_parts
+                         else np.zeros((B, 0)))
+
+    # groups may stop at different row counts; pad with frozen repeats
+    T = max(g.shape[1] for g in F_groups)
+
+    def _pad(groups):
+        out = []
+        for g in groups:
+            if g.shape[1] < T:
+                pad = np.repeat(g[:, -1:], T - g.shape[1], axis=1)
+                g = np.concatenate([g, pad], axis=1)
+            out.append(g)
+        return np.concatenate(out, axis=0)
+
+    return xs_out, _pad(F_groups), _pad(SP_groups), _pad(SN_groups)

@@ -140,6 +140,33 @@ class TestDoubleSingleScanEngine:
             assert 1 - w[xs > 1e-8].min() / m <= bar
 
 
+def test_batched_kernel_matches_f64_scan_per_instance():
+    """Lockstep batched kernel (K instances in one pallas_call) reproduces
+    each instance's f64 scan trajectory: identical stopping iteration,
+    iterates to 1e-12, fresh-certified 1e-8 slacks.  Exercises the group
+    split (group=2 over K=3) and the frozen-history padding."""
+    from accbpg_and_fw_tpu.ops.pallas_dopt import dopt_fw_pallas_batch
+
+    rng = np.random.default_rng(3)
+    K, m, n = 3, 20, 300
+    Vs = rng.standard_normal((K, m, n))
+    x0s = np.full((K, n), 1.0 / n)
+    xb, Fb, SPb, SNb = dopt_fw_pallas_batch(
+        Vs, x0s, eps=1e-8, maxitrs=4000, interpret=True, group=2)
+    for kk in range(K):
+        r64 = acc.D_opt_FW_away(Vs[kk], x0s[kk], eps=1e-8, maxitrs=4000,
+                                verbose=False, chunk=1000)
+        ok = (SPb[kk] <= 1e-8) & (SNb[kk] <= 1e-8)
+        assert ok.any()
+        assert int(np.argmax(ok)) == len(r64[1]) - 1
+        np.testing.assert_allclose(xb[kk], np.asarray(r64[0], np.float64),
+                                   atol=1e-12)
+        xs = xb[kk] / xb[kk].sum()
+        _, w, _ = _factorize_np(Vs[kk], xs)
+        assert w.max() / m - 1 <= 2e-8
+        assert 1 - w[xs > 1e-8].min() / m <= 2e-8
+
+
 def test_public_api_pallas_engine():
     """u_mode='pallas' on D_opt_FW(_away) dispatches to the fused kernel
     (interpreter off-TPU) and reproduces the f64 scan trajectory."""
