@@ -5,7 +5,7 @@ Public names and signatures match /root/reference/accbpg/__init__.py:7-18.
 
 from .bpg import ABDA, ABPG, ABPG_expo, ABPG_gain, BPG
 from .d_opt import D_opt_FW, D_opt_FW_away
-from .driver import run_driver, scan_full
+from .driver import run_driver, scan_full, solver_device
 from .extras import (
     AIBM,
     AdaptFGM,
@@ -40,5 +40,6 @@ __all__ = [
     "D_opt_FW_away",
     "solve_theta",
     "run_driver",
+    "solver_device",
     "scan_full",
 ]

@@ -58,6 +58,69 @@ _EXEC_CACHE: dict = {}
 
 _CKPT_VERSION = 2
 
+# Automatic small-problem CPU fallback (f64 parity runs only).  TPU f64 is
+# EMULATED (~25x slower matmuls) and every reduction barrier costs ~27 us,
+# so below ~10^5-element problems host XLA:CPU — which compiles the same
+# scan drivers natively in f64 — beats both the chip and interpreted numpy
+# (measured: D-opt f64 CPU-XLA 9.4x over numpy, BASELINE.md).  When the
+# default backend is TPU and every problem leaf is f64 with at most this
+# many elements, the driver runs the compiled chunks on the host CPU
+# backend instead.  Set to 0 to disable, or pin a device explicitly with
+# ``solver_device(...)``.
+AUTO_CPU_MAX_SIZE = [1 << 17]
+
+_DEVICE_OVERRIDE = [None]
+
+
+def solver_device(device):
+    """Context manager: run all drivers inside the block on ``device`` —
+    ``"cpu"``, ``"tpu"``, or a ``jax.Device``.  Overrides the automatic
+    small-f64-problem CPU fallback (see ``AUTO_CPU_MAX_SIZE``)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        prev = _DEVICE_OVERRIDE[0]
+        _DEVICE_OVERRIDE[0] = device
+        try:
+            yield
+        finally:
+            _DEVICE_OVERRIDE[0] = prev
+
+    return _ctx()
+
+
+def _auto_device(problem, carry):
+    """The automatic fallback device for this solve, or None for default
+    placement.  Fires only for all-f64, small, unsharded problems on a TPU
+    default backend (see AUTO_CPU_MAX_SIZE note)."""
+    limit = AUTO_CPU_MAX_SIZE[0]
+    if not limit or jax.default_backend() != "tpu" or problem is None:
+        return None
+    leaves = [l for l in jax.tree_util.tree_leaves((problem, carry))
+              if hasattr(l, "dtype")]
+    float_leaves = [l for l in leaves
+                    if jnp.issubdtype(l.dtype, jnp.floating)]
+    if not float_leaves or any(l.dtype != jnp.float64 for l in float_leaves):
+        return None
+    if max(l.size for l in leaves) > limit:
+        return None
+    for l in leaves:  # respect explicit multi-device shardings
+        sh = getattr(l, "sharding", None)
+        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+            return None
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
+def _resolve_exec_device(problem, carry):
+    ov = _DEVICE_OVERRIDE[0]
+    if ov is not None:
+        return jax.devices(ov)[0] if isinstance(ov, str) else ov
+    return _auto_device(problem, carry)
+
 _AOT_DIR_ENV = "ACCBPG_AOT_CACHE"  # "" -> default dir, "0" -> disabled
 _AOT_WARNED = [False]
 
@@ -387,6 +450,15 @@ def run_driver(
             problem = None
         else:
             problem = problem_arrays
+    exec_dev = _resolve_exec_device(problem, carry)
+    if exec_dev is not None:
+        carry = jax.device_put(carry, exec_dev)
+        if problem is not None:
+            problem = jax.device_put(problem, exec_dev)
+        if verbose and exec_dev.platform != jax.default_backend():
+            print(f"[driver] executing on {exec_dev.platform} "
+                  "(solver_device override / small-f64 auto fallback; see "
+                  "algorithms.driver.AUTO_CPU_MAX_SIZE)")
     if problem is not None:
         exe = _get_compiled_chunk(step, cfg, chunk, problem, carry)
 
@@ -413,6 +485,8 @@ def run_driver(
         state = _load_checkpoint(checkpoint, carry, fp)
         if state is not None:
             carry, block, k_next, t_spent = state
+            if exec_dev is not None:
+                carry = jax.device_put(carry, exec_dev)
             if block is not None:
                 nrows = len(next(iter(block.values())))
                 blocks.append((block, 0.0, t_spent, nrows))
@@ -442,6 +516,8 @@ def run_driver(
             break
         if between_chunks is not None and k_next < maxitrs:
             carry = between_chunks(carry, k_next)
+            if exec_dev is not None:
+                carry = jax.device_put(carry, exec_dev)
 
     # concatenate + truncate with the reference's inclusive-stop semantics
     full = {
