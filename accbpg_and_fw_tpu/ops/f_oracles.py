@@ -67,6 +67,88 @@ class DOptimalObj(SmoothOracle):
 
 
 @pytree_dataclass
+class DOptimalObjMixed(SmoothOracle):
+    """``DOptimalObj`` with the O(m^2 n) contractions in exact int8 Ozaki
+    digit GEMMs — f64-grade oracle answers WITHOUT emulated-f64 matmuls.
+
+    TPU f64 matmuls are software-emulated (~25x f32 cost), which is why the
+    BPG/ABPG family's f64-parity mode lost to host numpy at small scales
+    and paid 140 s at 30x10000 (BASELINE.md round-2 table).  Here:
+
+    * Gram ``V diag(x) V^T``: V's digit planes are split once per oracle
+      (per-row scales); ``diag(x) -> W = V * x`` is split per call; ONE
+      int8 MXU contraction + exact int32 accumulation gives the Gram to
+      ~1e-13 relative (``mixed_precision.ozaki_gram``).
+    * gradient ``g_j = -v_j^T (Gram)^{-1} v_j``: the m x m inverse is true
+      f64 (Cholesky — tiny at these m), then ``M @ V`` runs as a second
+      int8 contraction against V's column-scaled packed planes
+      (``mixed_precision.ozaki_mm``), and the column-dot with V is f64
+      elementwise (O(mn), bandwidth not FLOPs).
+    * log-det: f64 Cholesky diagonal (m logs).
+
+    Gradient accuracy ~1e-12 relative (tests).  Drop-in for every driver
+    that takes a ``DOptimalObj`` (same pytree-oracle duck type).  Requires
+    ``jax_enable_x64`` like any f64-parity run.
+
+    Reference semantics: functions.py:27-82; the workload this accelerates
+    is the notebook's ABPG-gain 30x10000 headline
+    (ipynb/ABPGvsFW/ex_Dopt_ABPGvsFW.ipynb cell5, 577 s reference CPU).
+    """
+
+    H: Any = None          # (m, n) f64 design matrix (kept for elementwise)
+    Vd_rows: Any = None    # (levels, m, n) int8, per-row scales (Gram side)
+    sV_rows: Any = None    # (m, 1)
+    V_packed: Any = None   # (m, levels*n) int8, per-column scales (MV side)
+    sV_cols: Any = None    # (n,)
+    levels: int = static_field(default=7)
+    max_diag: int = static_field(default=6)
+
+    @classmethod
+    def from_design(cls, H, levels: int = 7, max_diag: int = 6):
+        from . import mixed_precision as mp
+
+        H = jnp.asarray(H, jnp.float64)
+        dr, sr = mp.digit_split_rows(H, levels)
+        dc, sc = mp.digit_split_matrix(H, levels)
+        return cls(H=H, Vd_rows=dr, sV_rows=sr,
+                   V_packed=mp.pack_digit_planes(dc), sV_cols=sc,
+                   levels=levels, max_diag=max_diag)
+
+    @property
+    def m(self):
+        return self.H.shape[0]
+
+    @property
+    def n(self):
+        return self.H.shape[1]
+
+    def _gram_chol(self, x):
+        from . import mixed_precision as mp
+
+        W = self.H * x
+        dW, sW = mp.digit_split_rows(W, self.levels)
+        G = mp.ozaki_gram(self.Vd_rows, self.sV_rows, dW, sW,
+                          max_diag=self.max_diag)
+        return jnp.linalg.cholesky(G), G
+
+    def value(self, x, key=None):
+        R, _ = self._gram_chol(x)
+        return -2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
+
+    def value_and_grad(self, x, key=None):
+        from . import mixed_precision as mp
+
+        R, _ = self._gram_chol(x)
+        f = -2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
+        eye = jnp.eye(self.m, dtype=jnp.float64)
+        M = cho_solve((R, True), eye)
+        MV = mp.ozaki_mm(M, self.V_packed, self.sV_cols, self.levels,
+                         levels_m=self.levels, max_diag=self.max_diag)
+        g = -jnp.sum(self.H * MV, axis=0)
+        return f, g
+
+
+@pytree_dataclass
 class PoissonRegression(SmoothOracle):
     """f(x) = D_KL(b, Ax) for the linear inverse problem Ax ~ b
     (reference: functions.py:85-120)."""

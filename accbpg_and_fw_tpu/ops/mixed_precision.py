@@ -135,3 +135,93 @@ def ozaki_gemv_packed(a, B_packed, sB, levels_b: int, levels_a: int = 7):
         tail = tail + diags[d].astype(jnp.float32) * jnp.float32(BASE ** -(d + 2))
     u = u + tail.astype(jnp.float64)
     return u * (sa * sB)
+
+
+# ---------------------------------------------------------------------------
+# GEMM-level Ozaki contractions (round 2): the O(m^2 n) products of the
+# BPG/ABPG D-optimal oracle — Gram V diag(x) V^T and M @ V — as ONE int8
+# MXU contraction each, with exact int32 accumulation.  This is what lifts
+# the accelerated family's f64-parity mode off the emulated-f64 path
+# (reference workload: ABPG-gain on D-opt 30x10000,
+# /root/reference/ipynb/ABPGvsFW/ex_Dopt_ABPGvsFW.ipynb cell5).
+# ---------------------------------------------------------------------------
+
+
+def digit_split_rows(X, levels: int):
+    """Split matrix X (m, n) into int8 digit planes with per-ROW
+    power-of-two scales: X == (sum_p digits[p] * BASE**-(p+1)) * s[:, None]
+    + O(BASE**-levels).  Returns (digits[levels, m, n], s[m, 1])."""
+    X = jnp.asarray(X)
+    s = 2.0 ** jnp.ceil(
+        jnp.log2(jnp.max(jnp.abs(X), axis=1, keepdims=True) + 1e-300))
+    r = X / s
+    planes = []
+    for _ in range(levels):
+        d = jnp.round(r * BASE)
+        planes.append(d.astype(jnp.int8))
+        r = r * BASE - d
+    return jnp.stack(planes), s
+
+
+def ozaki_gram(dA, sA, dW, sW, max_diag: int | None = None):
+    """G = A @ W^T with A == (digits dA, row scales sA), W == (dW, sW).
+
+    dA, dW: (levels, m, n) int8 digit planes (same n); one dot_general of
+    the (levels*m, n) stacks gives EVERY digit-pair product with exact
+    int32 accumulation (pair products <= 2^12, so K <= 2^18 rows stay
+    exact); the (levels, m, levels, m) combine then runs over tiny m x m
+    tiles in f64.  ``max_diag``: drop digit pairs with p + q > max_diag
+    (relative truncation ~BASE**-(max_diag+1))."""
+    La, m, n = dA.shape
+    Lw = dW.shape[0]
+    if max_diag is None:
+        max_diag = La + Lw - 2
+    P = lax.dot_general(
+        dA.reshape(La * m, n), dW.reshape(Lw * m, n),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(La, m, Lw, m)
+    G = jnp.zeros((m, m), jnp.float64)
+    for d in range(min(max_diag, La + Lw - 2) + 1):
+        acc = None
+        for p in range(max(0, d - Lw + 1), min(d, La - 1) + 1):
+            t = P[p, :, d - p, :]
+            acc = t if acc is None else acc + t
+        G = G + acc.astype(jnp.float64) * (BASE ** -(d + 2))
+    return G * (sA * sW.T)
+
+
+def ozaki_mm(M, B_packed, sB, levels_b: int, levels_m: int = 7,
+             max_diag: int | None = None):
+    """P = M @ B for a small f64 matrix M (m, m) against a digit-packed
+    B (m, n) (``pack_digit_planes`` layout, per-COLUMN scales sB).
+
+    M is digit-split per call (m^2 elements — cheap); ONE int8 contraction
+    produces all digit pairs; the combine accumulates the three leading
+    diagonals in f64 and the geometrically-vanishing tail in f32 (same
+    rounding argument as ``ozaki_gemv_packed``)."""
+    m = M.shape[0]
+    n = B_packed.shape[1] // levels_b
+    if max_diag is None:
+        max_diag = levels_m + levels_b - 2
+    dM, sM = digit_split_rows(M, levels_m)  # (levels_m, m, m), (m, 1)
+    P = lax.dot_general(
+        dM.reshape(levels_m * m, m), B_packed,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(levels_m, m, levels_b, n)
+    out = jnp.zeros((m, n), jnp.float64)
+    tail = jnp.zeros((m, n), jnp.float32)
+    for d in range(min(max_diag, levels_m + levels_b - 2) + 1):
+        acc = None
+        for p in range(max(0, d - levels_b + 1), min(d, levels_m - 1) + 1):
+            t = P[p, :, d - p, :]
+            acc = t if acc is None else acc + t
+        if d < 3:
+            out = out + acc.astype(jnp.float64) * (BASE ** -(d + 2))
+        else:
+            # |acc| < 2^24 -> exact int32->f32; power-of-two scales exact
+            tail = tail + acc.astype(jnp.float32) * jnp.float32(
+                BASE ** -(d + 2))
+    out = out + tail.astype(jnp.float64)
+    return out * (sM * sB)
