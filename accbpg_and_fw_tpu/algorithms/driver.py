@@ -151,6 +151,32 @@ def _stable_cfg_repr(cfg):
     return None if "0x" in r else r
 
 
+_SOURCE_DIGEST = [None]
+
+
+def _package_source_digest():
+    """Digest of every .py source in this package — part of the AOT cache
+    key so editing library code can never serve a stale executable (found
+    the hard way: an oracle rewrite benchmarked IDENTICAL to 14 digits
+    because the old compiled chunk was deserialized from disk)."""
+    if _SOURCE_DIGEST[0] is None:
+        import hashlib
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(p.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _SOURCE_DIGEST[0] = h.hexdigest()
+    return _SOURCE_DIGEST[0]
+
+
 def _aot_key(step, cfg, chunk, problem, carry):
     """Content hash identifying a compiled chunk across processes."""
     import hashlib
@@ -175,6 +201,7 @@ def _aot_key(step, cfg, chunk, problem, carry):
             jax.__version__, jax.default_backend(),
             getattr(dev, "device_kind", dev),
             bool(jax.config.jax_enable_x64),
+            _package_source_digest(),
             f"{step.__module__}.{step.__qualname__}", cfgr, chunk,
             _aval_key(problem), _aval_key(carry),
         )))

@@ -122,26 +122,55 @@ class DOptimalObjMixed(SmoothOracle):
     def n(self):
         return self.H.shape[1]
 
-    def _gram_chol(self, x):
+    def _gram(self, x):
         from . import mixed_precision as mp
 
         W = self.H * x
         dW, sW = mp.digit_split_rows(W, self.levels)
-        G = mp.ozaki_gram(self.Vd_rows, self.sV_rows, dW, sW,
-                          max_diag=self.max_diag)
-        return jnp.linalg.cholesky(G), G
+        return mp.ozaki_gram(self.Vd_rows, self.sV_rows, dW, sW,
+                             max_diag=self.max_diag)
+
+    def _chol32_logdet(self, G):
+        """f32 Cholesky + mixed-precision log-det correction.
+
+        A true-f64 Cholesky on TPU is a SEQUENTIAL emulated-f64 algorithm
+        (measured ~9 ms/iteration dominating the whole oracle); the native
+        f32 factorization plus the exact identity
+
+            logdet(G) = 2 sum log diag(R) + logdet(R^-1 G R^-T)
+
+        recovers f64-grade accuracy: E = R^-1 (G - R R^T) R^-T is ~1e-7
+        small, so logdet(I+E) = tr(E) - tr(E^2)/2 + O(1e-21), and the
+        residual G - R64 R64^T is computed in f64 where it is exact."""
+        R = jnp.linalg.cholesky(G.astype(jnp.float32))
+        R64 = R.astype(jnp.float64)
+        delta = (G - R64 @ R64.T).astype(jnp.float32)
+        Y = solve_triangular(R, delta, lower=True)          # R^-1 D
+        E = solve_triangular(R, Y.T, lower=True).T          # R^-1 D R^-T
+        trE = jnp.trace(E).astype(jnp.float64)
+        trE2 = jnp.trace(E @ E).astype(jnp.float64)
+        logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(R64)))
+                  + trE - 0.5 * trE2)
+        return R, logdet
 
     def value(self, x, key=None):
-        R, _ = self._gram_chol(x)
-        return -2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
+        _, logdet = self._chol32_logdet(self._gram(x))
+        return -logdet
 
     def value_and_grad(self, x, key=None):
         from . import mixed_precision as mp
 
-        R, _ = self._gram_chol(x)
-        f = -2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
-        eye = jnp.eye(self.m, dtype=jnp.float64)
-        M = cho_solve((R, True), eye)
+        G = self._gram(x)
+        R, logdet = self._chol32_logdet(G)
+        f = -logdet
+        # inverse: f32 Cholesky seed + two f64 Schulz refinement steps
+        # (M <- 2M - M G M squares the ~1e-4 scaled seed error to ~1e-13;
+        # each step is two PARALLEL m x m f64 matmuls, not a sequential
+        # factorization)
+        eye = jnp.eye(self.m, dtype=jnp.float32)
+        M = cho_solve((R, True), eye).astype(jnp.float64)
+        for _ in range(2):
+            M = 2.0 * M - M @ (G @ M)
         MV = mp.ozaki_mm(M, self.V_packed, self.sV_cols, self.levels,
                          levels_m=self.levels, max_diag=self.max_diag)
         g = -jnp.sum(self.H * MV, axis=0)

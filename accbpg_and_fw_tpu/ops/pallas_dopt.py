@@ -409,6 +409,11 @@ def _build_chunk_fn(m, MP, NP, K, away, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        # the 16 MB scoped-vmem default is a compiler knob; granting
+        # headroom lets this kernel serve m*n into the millions (the V
+        # planes + full-size DS temporaries are the footprint)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=bool(interpret),
     )
     return jax.jit(call)

@@ -253,12 +253,77 @@ def run_reference():
     return results
 
 
+def run_f64():
+    """f64-parity runs through the round-2 accelerations:
+
+    * tiny scales (30x1000, 1000x100) auto-route to host XLA:CPU
+      (algorithms.driver fallback — native f64 beats both emulated-f64 TPU
+      and interpreted numpy there);
+    * 30x10000 runs ON-CHIP with ``DOptimalObjMixed`` (exact int8 Ozaki
+      GEMMs for the O(m^2 n) contractions — the config where the reference
+      notebook spends 577 s and plain f64 emulation spent 140 s).
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    import accbpg_and_fw_tpu as acc
+
+    probs = _problems()
+    results = []
+
+    def bench(name, fn):
+        fn()  # compile + warm
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        F = np.asarray(out[1])
+        row = {"bench": name, "seconds": round(dt, 3),
+               "final_F": float(F[-1]), "iters": int(len(F))}
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    f, h, L, x0 = probs["dopt_30x1000"]
+    H64 = np.asarray(f.H, np.float64)
+    f64 = acc.DOptimalObj(H=jnp.asarray(H64))
+    x064 = jnp.asarray(np.asarray(x0, np.float64))
+    bench("f64_dopt_30x1000_bpg_ls_autocpu", lambda: acc.BPG(
+        f64, h, L, x064, maxitrs=9000, linesearch=True, verbose=False))
+    bench("f64_dopt_30x1000_abpg_gain_autocpu", lambda: acc.ABPG_gain(
+        f64, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
+    fmx = acc.DOptimalObjMixed.from_design(H64)
+    bench("f64_dopt_30x1000_abpg_gain_mixed_tpu", lambda: acc.ABPG_gain(
+        fmx, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
+
+    f2, h2, L2, x02 = probs["dopt_30x10000"]
+    H2 = np.asarray(f2.H, np.float64)
+    fmx2 = acc.DOptimalObjMixed.from_design(H2)
+    x0264 = jnp.asarray(np.asarray(x02, np.float64))
+    bench("f64_dopt_30x10000_abpg_gain_mixed_tpu", lambda: acc.ABPG_gain(
+        fmx2, h2, L2, x0264, gamma=2, maxitrs=9000, verbose=False))
+
+    f3, h3, L3, x03 = probs["kl_1000x100"]
+    f364 = acc.KLdivRegression(A=jnp.asarray(np.asarray(f3.A, np.float64)),
+                               b=jnp.asarray(np.asarray(f3.b, np.float64)))
+    x0364 = jnp.asarray(np.asarray(x03, np.float64))
+    bench("f64_kl_1000x100_bpg_ls_autocpu", lambda: acc.BPG(
+        f364, h3, L3, x0364, maxitrs=4000, linesearch=True, verbose=False))
+    bench("f64_kl_1000x100_abpg_gain_autocpu", lambda: acc.ABPG_gain(
+        f364, h3, L3, x0364, gamma=2, maxitrs=4000, restart=True,
+        restart_rule="g", verbose=False))
+    return results
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--ours", action="store_true")
     p.add_argument("--reference", action="store_true")
+    p.add_argument("--f64", action="store_true")
     a = p.parse_args()
     if a.reference:
         run_reference()
-    if a.ours or not a.reference:
+    if a.f64:
+        run_f64()
+    if a.ours or not (a.reference or a.f64):
         run_ours()
