@@ -61,15 +61,29 @@ def D_opt_libsvm(filename):
             jnp.full(n, 1.0 / n))
 
 
-def D_opt_design(m, n, randseed=-1):
+def D_opt_design(m, n, randseed=-1, oracle=None):
     """Random D-optimal design instance: H ~ randn(m, n), Burg-simplex h,
     L = 1, x0 = center of simplex (reference: applications.py:36-56).
-    Seeded instances reproduce the reference's exactly."""
+    Seeded instances reproduce the reference's exactly.
+
+    ``oracle="mixed"`` returns a ``DOptimalObjMixed`` f-oracle (f64-grade
+    answers via exact int8 Ozaki GEMMs + refined f32 Cholesky — the fast
+    f64-parity path for the BPG/ABPG family on TPU; needs x64 enabled);
+    default is the plain ``DOptimalObj`` in the ambient dtype."""
     if randseed > 0:
         np.random.seed(randseed)
     H = np.random.randn(m, n)
-    return (DOptimalObj(H=_dev(H)), BurgEntropySimplex(), 1.0,
-            jnp.full(n, 1.0 / n))
+    if oracle == "mixed":
+        from ..ops.f_oracles import DOptimalObjMixed
+
+        f = DOptimalObjMixed.from_design(H)
+        x0 = jnp.full(n, 1.0 / n, jnp.float64)
+    elif oracle is None:
+        f = DOptimalObj(H=_dev(H))
+        x0 = jnp.full(n, 1.0 / n)
+    else:
+        raise ValueError(f"unknown oracle={oracle!r} (None or 'mixed')")
+    return (f, BurgEntropySimplex(), 1.0, x0)
 
 
 def D_opt_KYinit(V):

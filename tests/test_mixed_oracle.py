@@ -50,6 +50,19 @@ def test_bpg_trajectory_matches_f64():
     np.testing.assert_array_equal(np.asarray(Ls_a), np.asarray(Ls_b))
 
 
+def test_factory_mixed_oracle():
+    f, h, L, x0 = acc.D_opt_design(15, 200, randseed=4, oracle="mixed")
+    assert isinstance(f, acc.DOptimalObjMixed)
+    assert x0.dtype == jnp.float64
+    f2, _, _, _ = acc.D_opt_design(15, 200, randseed=4)
+    v_mixed = float(f.value(jnp.asarray(np.asarray(x0))))
+    v_plain = float(acc.DOptimalObj(
+        H=jnp.asarray(np.asarray(f2.H), jnp.float64)).value(x0))
+    assert abs(v_mixed - v_plain) <= 1e-10 * max(1.0, abs(v_plain))
+    with pytest.raises(ValueError):
+        acc.D_opt_design(10, 50, oracle="nope")
+
+
 def test_abpg_gain_trajectory_matches_f64():
     V, f64, fmx = _instance(m=20, n=300, seed=7)
     h = acc.ops.h_oracles.BurgEntropySimplex()
