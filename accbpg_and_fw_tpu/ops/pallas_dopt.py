@@ -22,9 +22,15 @@ away-step FW) and :9-88 (Khachiyan FW), with this repo's documented
 deviations (algorithms/d_opt.py): log-space determinant tracking, the
 u[i] = w[i] consistency pin, and the away-branch logdet using w[j].
 
-Only single-instance, single-chip, n-in-VMEM problems (the design matrix
-DS pair must fit in ~12 MB of VMEM, i.e. m*n up to ~1.5M entries); larger
-problems use the scan engine with its sharded / mixed-precision paths.
+Only single-instance, single-chip, n-in-VMEM problems.  Large-m problems
+(MP >= _BIG_MP) compile via slabbed contractions that slice the V refs
+per block (a wholesale ref load alone is 40 MB at 1000x5000; v5e VMEM is
+128 MB) — but measured 1.9 ms/iteration there vs 225 us for the XLA DS
+scan: Mosaic lowers each DS op as its own full-array VMEM pass (no
+elementwise-chain fusion), so large-array double-single chains belong to
+XLA, which fuses the 17-op two_prod composites into single-pass loops.
+This kernel's domain is the LATENCY-bound small/medium regime; the host
+driver warns if you route a large problem here.
 """
 
 from __future__ import annotations
@@ -135,6 +141,52 @@ def _ds_allreduce_sub(x, MP, interpret):
     return hi, lo
 
 
+# sublane extent above which the kernel body switches from full-size
+# butterfly all-reduces to slabbed halving contractions: at MP=1024,
+# NP=5120 the butterfly path's full (MP, NP) two_prod temporaries need
+# 223.7 MB of VMEM (v5e physical: 128 MB — probed via compile error);
+# slabs keep the peak near ~100 MB and do 2N work instead of N log N.
+_BIG_MP = 512
+
+
+def _ds_rowdot2(col, M2, MP, interpret, slab=64):
+    """DS contraction ``sum_r col[r] * M2[r, :]`` -> (1, X) for 2D arrays.
+
+    Row-blocked (``slab`` sublanes at a time, halved via tile-aligned
+    slices down to one 8-row f32 tile, 3-round butterfly to finish) so the
+    peak VMEM holds one slab of two_prod temporaries instead of the full
+    (MP, X) DS product.  With ``col = Vi`` and ``M2 = H`` (symmetric) this
+    yields the (H Vi)^T row; with ``col = HVi`` and ``M2 = V`` it yields
+    u = (H Vv)^T V."""
+    ch, cl = col
+    Mh, Ml = M2
+    acc = None
+    for r0 in range(0, MP, slab):
+        hi, lo = ds.mul((ch[r0:r0 + slab], cl[r0:r0 + slab]),
+                        (Mh[r0:r0 + slab], Ml[r0:r0 + slab]))
+        size = min(slab, MP - r0)
+        while size > 8:
+            h = size // 2
+            hi, lo = ds.add_sloppy((hi[:h, :], lo[:h, :]),
+                                   (hi[h:size, :], lo[h:size, :]))
+            size = h
+        acc = (hi, lo) if acc is None else ds.add_sloppy(acc, (hi, lo))
+    hi, lo = acc
+    s = 4
+    while s >= 1:
+        if interpret:
+            rhi = jnp.roll(hi, s, axis=0)
+            rlo = jnp.roll(lo, s, axis=0)
+        else:
+            from jax.experimental.pallas import tpu as pltpu
+
+            rhi = pltpu.roll(hi, s, 0)
+            rlo = pltpu.roll(lo, s, 0)
+        hi, lo = ds.add_sloppy((hi, lo), (rhi, rlo))
+        s //= 2
+    return hi[0:1, :], lo[0:1, :]
+
+
 def _fw_kernel_body(m, MP, NP, K, away, interpret,
                     scal_ref, Vh_ref, Vl_ref,
                     xh_ref, xl_ref, wh_ref, wl_ref, Hh_ref, Hl_ref,
@@ -144,9 +196,14 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
     xtol = scal_ref[1]
     kmax = scal_ref[2].astype(jnp.int32)  # dynamic budget this launch (<= K)
 
-    Vh = Vh_ref[:]
-    Vl = Vl_ref[:]
-    V = (Vh, Vl)
+    if MP >= _BIG_MP:
+        # do NOT load V wholesale: a full `ref[:]` load materializes a
+        # V-sized value (40 MB at 1000x5000) on the VMEM stack; the slabbed
+        # contraction/extract paths slice the refs per 64/128-row block
+        V = (Vh_ref, Vl_ref)
+    else:
+        V = (Vh_ref[:], Vl_ref[:])
+    Vh, Vl = V
     lane = lax.broadcasted_iota(jnp.int32, (1, NP), 1)
     laneK = lax.broadcasted_iota(jnp.int32, (1, K), 1)
     rr = lax.broadcasted_iota(jnp.int32, (MP, MP), 0)
@@ -267,30 +324,73 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
 
         if "extract" in A:
             Vi = (Vh[:, 0:1] + 1.0e-9 * kf32, Vl[:, 0:1])
+        elif MP >= _BIG_MP:
+            # slabbed masked column extract: the full-size wheres would
+            # materialize two V-sized planes (~40 MB at 1000x5000)
+            parts_h, parts_l = [], []
+            for r0 in range(0, MP, 128):
+                parts_h.append(jnp.sum(
+                    jnp.where(vmask, Vh[r0:r0 + 128, :], 0.0),
+                    axis=1, keepdims=True))
+                parts_l.append(jnp.sum(
+                    jnp.where(vmask, Vl[r0:r0 + 128, :], 0.0),
+                    axis=1, keepdims=True))
+            Vi = (jnp.concatenate(parts_h, 0), jnp.concatenate(parts_l, 0))
         else:
             # V[:, v] as a (MP, 1) DS column via a masked lane-reduction —
             # a dynamic pl.ds read would need the index on the scalar unit
             Vi = (jnp.sum(jnp.where(vmask, Vh, 0.0), axis=1, keepdims=True),
                   jnp.sum(jnp.where(vmask, Vl, 0.0), axis=1, keepdims=True))
-        # R: every row holds (H Vv)^T — butterfly all-reduce over sublanes of
-        # H[r,c] * Vi[r] (H is symmetric, so Vi^T H == (H Vi)^T)
-        R = _ds_allreduce_sub(ds.mul(H, Vi), MP, interpret)
-        HVi_row = (R[0][0:1, :], R[1][0:1, :])
-        # column form via the diagonal mask (R[r, r] == HVi[r])
-        HVi_col = (jnp.sum(jnp.where(diag, R[0], 0.0), axis=1, keepdims=True),
-                   jnp.sum(jnp.where(diag, R[1], 0.0), axis=1, keepdims=True))
+        if MP >= _BIG_MP:
+            # large m: slabbed halving contractions (2N work, slab-sized
+            # temporaries) — the butterfly's full-size temps bust VMEM here
+            HVi_row = _ds_rowdot2(Vi, H, MP, interpret)
+            # column form: sublane-broadcast the row and extract the
+            # diagonal with a lane reduction
+            HVi_col = (jnp.sum(jnp.where(diag, HVi_row[0], 0.0), axis=1,
+                               keepdims=True),
+                       jnp.sum(jnp.where(diag, HVi_row[1], 0.0), axis=1,
+                               keepdims=True))
+        else:
+            # R: every row holds (H Vv)^T — butterfly all-reduce over
+            # sublanes of H[r,c] * Vi[r] (H symmetric: Vi^T H == (H Vi)^T)
+            R = _ds_allreduce_sub(ds.mul(H, Vi), MP, interpret)
+            HVi_row = (R[0][0:1, :], R[1][0:1, :])
+            # column form via the diagonal mask (R[r, r] == HVi[r])
+            HVi_col = (jnp.sum(jnp.where(diag, R[0], 0.0), axis=1,
+                               keepdims=True),
+                       jnp.sum(jnp.where(diag, R[1], 0.0), axis=1,
+                               keepdims=True))
 
         # u = (H Vv)^T V, pinned so u[v] == w[v] exactly (d_opt.py:108-114)
         if "contract" in A:
             u = ds.mul_f32(w, jnp.float32(0.5))
+        elif MP >= _BIG_MP:
+            u = _ds_rowdot2(HVi_col, V, MP, interpret)
+            u = ds.where(vmask, wv, u)
         else:
             u_full = _ds_allreduce_sub(ds.mul(HVi_col, V), MP, interpret)
             u = (u_full[0][0:1, :], u_full[1][0:1, :])
             u = ds.where(vmask, wv, u)
 
         w_new = ds.mul(ds.sub(w, ds.mul(c_, ds.sq(u))), r_tau)
-        outer = ds.mul(HVi_col, HVi_row)
-        H_new = ds.mul(ds.sub(H, ds.mul(c_, outer)), r_tau)
+        if MP >= _BIG_MP:
+            # slabbed rank-1 H update (same association as the small path:
+            # (H - c * col row) * r_tau, per 256-sublane block)
+            parts_h, parts_l = [], []
+            for r0 in range(0, MP, 256):
+                col_s = (HVi_col[0][r0:r0 + 256, :],
+                         HVi_col[1][r0:r0 + 256, :])
+                H_s = (Hh[r0:r0 + 256, :], Hl[r0:r0 + 256, :])
+                outer_s = ds.mul(col_s, HVi_row)
+                s_h, s_l = ds.mul(ds.sub(H_s, ds.mul(c_, outer_s)), r_tau)
+                parts_h.append(s_h)
+                parts_l.append(s_l)
+            H_new = (jnp.concatenate(parts_h, 0),
+                     jnp.concatenate(parts_l, 0))
+        else:
+            outer = ds.mul(HVi_col, HVi_row)
+            H_new = ds.mul(ds.sub(H, ds.mul(c_, outer)), r_tau)
         xs = ds.mul(x, one_m_tau)
         x_new = ds.where(vmask, ds.add(xs, tau), xs)
 
@@ -460,6 +560,14 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
     x64 = np.asarray(x0, np.float64)
     if chunk is None:
         chunk = 8192
+    if _next_pow2(max(m, 8)) >= _BIG_MP and not interpret:
+        import warnings
+
+        warnings.warn(
+            f"u_mode='pallas' with m={m}: the fused kernel is for the "
+            "latency-bound small/medium regime; at this size the XLA "
+            "double-single scan (u_mode='ds') is ~8x faster (module "
+            "docstring). Proceeding anyway.")
     MP = _next_pow2(max(m, 8))
     NP = -(-n // _LANE) * _LANE
     K = -(-int(chunk) // _INNER) * _INNER  # round up to the block size

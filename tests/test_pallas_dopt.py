@@ -56,6 +56,25 @@ def test_plain_fw_matches_f64_scan():
     np.testing.assert_allclose(x_p, np.asarray(x_r, np.float64), atol=1e-10)
 
 
+def test_big_mp_branch_matches_f64_scan():
+    """MP >= _BIG_MP switches to slabbed ref-sliced contractions (VMEM);
+    the trajectory must still match the f64 scan to fp-noise."""
+    from accbpg_and_fw_tpu.ops.pallas_dopt import _BIG_MP, _next_pow2
+
+    m, n = 300, 400
+    assert _next_pow2(m) >= _BIG_MP
+    np.random.seed(5)
+    V = np.random.randn(m, n)
+    x0 = np.full(n, 1.0 / n)
+    r64 = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=300, verbose=False,
+                            chunk=300)
+    rp = dopt_fw_pallas(V, x0, eps=1e-8, maxitrs=300, away=True,
+                        verbose=False, chunk=256, interpret=True)
+    assert len(rp[1]) == len(r64[1])
+    np.testing.assert_allclose(rp[0], np.asarray(r64[0], np.float64),
+                               atol=1e-13)
+
+
 def test_maxitrs_budget_respected():
     V, x0 = _problem(m=10, n=200, seed=5)
     x, F, SP, SN, T = dopt_fw_pallas(V, x0, eps=1e-12, maxitrs=700,
