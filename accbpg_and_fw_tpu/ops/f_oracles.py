@@ -201,6 +201,81 @@ class PoissonRegression(SmoothOracle):
 
 
 @pytree_dataclass
+class _RegressionMixed(SmoothOracle):
+    """Shared machinery for f64-grade regression oracles without emulated
+    f64 GEMVs: both orientations of the data matrix are pre-split into
+    int8 Ozaki digit planes (``mixed_precision.digit_split_matrix``), and
+    the two per-iteration contractions A@x and r@A run as exact int8 MXU
+    products (~1e-12 relative).  The O(N)/O(n) elementwise work stays true
+    f64 (cheap).  Needs jax_enable_x64; storage is 2*levels bytes per
+    matrix entry (vs 8 for f64).
+
+    Serves the same role for Poisson/KL regression that ``DOptimalObjMixed``
+    serves for D-optimal design (reference oracles: functions.py:85-158)."""
+
+    b: Any = None
+    AT_d: Any = None   # (levels, n, N) int8: digits of A^T (for A @ x)
+    AT_s: Any = None   # (N,) column scales of A^T
+    A_d: Any = None    # (levels, N, n) int8: digits of A (for r @ A)
+    A_s: Any = None    # (n,) column scales of A
+    levels: int = static_field(default=7)
+    max_diag: int = static_field(default=6)
+
+    @classmethod
+    def from_data(cls, A, b, levels: int = 7, max_diag: int = 6, **kw):
+        from . import mixed_precision as mp
+
+        A = jnp.asarray(A, jnp.float64)
+        dT, sT = mp.digit_split_matrix(A.T, levels)
+        dA, sA = mp.digit_split_matrix(A, levels)
+        return cls(b=jnp.asarray(b, jnp.float64), AT_d=dT, AT_s=sT,
+                   A_d=dA, A_s=sA, levels=levels, max_diag=max_diag, **kw)
+
+    def _ax(self, x):
+        from . import mixed_precision as mp
+
+        return mp.ozaki_gemv(x, self.AT_d, self.AT_s,
+                             levels_a=self.levels, max_diag=self.max_diag)
+
+    def _rta(self, r):
+        from . import mixed_precision as mp
+
+        return mp.ozaki_gemv(r, self.A_d, self.A_s,
+                             levels_a=self.levels, max_diag=self.max_diag)
+
+
+@pytree_dataclass
+class PoissonRegressionMixed(_RegressionMixed):
+    """``PoissonRegression`` with the GEMVs as exact int8 Ozaki products
+    (f(x) = D_KL(b, Ax); reference: functions.py:85-120)."""
+
+    def value(self, x, key=None):
+        Ax = self._ax(x)
+        return jnp.sum(self.b * jnp.log(self.b / Ax) + Ax - self.b)
+
+    def value_and_grad(self, x, key=None):
+        Ax = self._ax(x)
+        f = jnp.sum(self.b * jnp.log(self.b / Ax) + Ax - self.b)
+        return f, self._rta(1.0 - self.b / Ax)
+
+
+@pytree_dataclass
+class KLdivRegressionMixed(_RegressionMixed):
+    """``KLdivRegression`` with the GEMVs as exact int8 Ozaki products
+    (f(x) = D_KL(Ax, b); reference: functions.py:123-158)."""
+
+    def value(self, x, key=None):
+        Ax = self._ax(x)
+        return jnp.sum(Ax * jnp.log(Ax / self.b) - Ax + self.b)
+
+    def value_and_grad(self, x, key=None):
+        Ax = self._ax(x)
+        r = jnp.log(Ax / self.b)
+        f = jnp.sum(Ax * r - Ax + self.b)
+        return f, self._rta(r)
+
+
+@pytree_dataclass
 class KLdivRegression(SmoothOracle):
     """f(x) = D_KL(Ax, b) (reference: functions.py:123-158)."""
 

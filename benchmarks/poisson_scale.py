@@ -37,6 +37,8 @@ def main():
     p.add_argument("--n", type=int, default=2000)
     p.add_argument("--maxitrs", type=int, default=2000)
     p.add_argument("--skip-numpy", action="store_true")
+    p.add_argument("--mixed", action="store_true",
+                   help="also run the f64-grade mixed-precision oracle")
     a = p.parse_args()
 
     import jax.numpy as jnp
@@ -72,6 +74,29 @@ def main():
         out["speedup"] = round(out["numpy_wall_s"] / max(out["ours_wall_s"], 1e-9), 1)
         out["F_agree"] = bool(abs(out["ours_F_final"] - out["numpy_F_final"])
                               <= 1e-3 * max(1.0, abs(out["numpy_F_final"])))
+
+    if a.mixed:
+        # f64-grade without emulated f64: exact int8 Ozaki GEMVs
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        fm = acc.PoissonRegressionMixed.from_data(A64, b64)
+        hm = acc.BurgEntropyL1(lamda=jnp.float64(1e-3))
+        with acc.solver_device("tpu" if jax.default_backend() == "tpu"
+                               else "cpu"):
+            x, F, Ls, T = acc.BPG(fm, hm, L, jnp.asarray(x064),
+                                  maxitrs=a.maxitrs, linesearch=False,
+                                  verbose=False)
+            x, F, Ls, T = acc.BPG(fm, hm, L, jnp.asarray(x064),
+                                  maxitrs=a.maxitrs, linesearch=False,
+                                  verbose=False)
+        out["mixed_wall_s"] = round(float(T[-1]), 3)
+        out["mixed_F_final"] = float(F[-1])
+        if "numpy_wall_s" in out:
+            out["mixed_speedup"] = round(
+                out["numpy_wall_s"] / max(out["mixed_wall_s"], 1e-9), 1)
+            out["mixed_F_absdiff"] = abs(out["mixed_F_final"]
+                                         - out["numpy_F_final"])
     print(json.dumps(out))
 
 

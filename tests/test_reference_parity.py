@@ -453,3 +453,33 @@ class TestSVMPolyDiv:
         assert delta < 0.15, delta
         # the KKT-exact prox must never end WORSE than the rescaled one
         assert F_kkt[-1] <= F_ref[-1] * (1 + 1e-6)
+
+
+class TestMixedOracleGolden:
+    """The REFERENCE ABPG-gain driver fed the mixed-precision oracle vs the
+    same driver on the true-f64 oracle: isolates DOptimalObjMixed's
+    arithmetic (exact int8 Ozaki GEMMs + refined f32 Cholesky) inside the
+    unmodified reference control flow."""
+
+    def test_ref_abpg_gain_mixed_vs_f64_oracle(self):
+        import jax.numpy as jnp
+
+        if not jnp.asarray(1.0, jnp.float64).dtype == jnp.float64:
+            pytest.skip("needs x64")
+        ref = _load_ref("algorithms", stub_utils=True)
+        np.random.seed(7)
+        V = np.random.randn(15, 200)
+        x0 = np.full(200, 1.0 / 200)
+        h = acc.ops.h_oracles.BurgEntropySimplex()
+        f64 = acc.DOptimalObj(H=jnp.asarray(V, jnp.float64))
+        fmx = acc.DOptimalObjMixed.from_design(V)
+        out_a = ref.ABPG_gain(f64, h, 1.0, x0.copy(), gamma=2, maxitrs=120,
+                              verbose=False)
+        out_b = ref.ABPG_gain(fmx, h, 1.0, x0.copy(), gamma=2, maxitrs=120,
+                              verbose=False)
+        Fa, Fb = np.asarray(out_a[1], float), np.asarray(out_b[1], float)
+        assert len(Fa) == len(Fb)
+        # a ~1e-12 oracle perturbation may flip a line-search trial
+        # transiently; trajectories re-converge (see tests/test_mixed_oracle)
+        np.testing.assert_allclose(Fb, Fa, rtol=1e-6)
+        assert abs(Fb[-1] - Fa[-1]) <= 1e-9 * abs(Fa[-1])
