@@ -105,8 +105,9 @@ class BurgEntropySimplex(BurgEntropy):
     """Burg entropy restricted to the unit simplex (reference :326-356).
 
     prox_map solves sum_i 1/(g_i/L + c) = 1 for the multiplier c with a
-    jit-compiled bisection+Newton (roots.simplex_inv_multiplier); every
-    Newton step is a full-vector reduction that psums under sharding.
+    jit-compiled warm-started Newton (roots.simplex_inv_multiplier); every
+    Newton step is ONE fused full-vector reduction that psums under
+    sharding.
 
     ``use_pallas=True`` runs the whole root-find as a single Pallas TPU
     kernel with the vector resident in VMEM (ops/pallas_kernels.py) —

@@ -26,6 +26,23 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference checkout not available")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop JAX's in-process executable caches before this module.
+
+    A full-suite run accumulates ~2000 XLA:CPU compilations; with that
+    state live, the first compile of the eager f64 simplex-prox while_loop
+    in TestMixedOracleGolden crashed inside backend_compile_and_load
+    (SIGSEGV once, SIGABRT once — same test both times), while every
+    smaller combination, and this file run solo, passes.  Starting the
+    module from an empty executable cache reproduces the known-good
+    fresh-process compile state."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
 _REF_CACHE = {}
 
 
