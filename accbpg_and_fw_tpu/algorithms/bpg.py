@@ -31,6 +31,18 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda u, v: jnp.where(pred, u, v), a, b)
 
 
+def _div_pair(h, a1, b1, a2, b2):
+    """Two Bregman divergences as ONE fused batched reduction pass.
+
+    In-scan, each ``h.divergence`` call costs a full elementwise+reduce
+    round (~80 us measured at n=1000 on v5e); the accelerated steps always
+    need the (D(x+,y), D(z+,z)) pair, so batch them with vmap — XLA fuses
+    the two row-reductions of the stacked operands into a single pass.
+    """
+    d = jax.vmap(h.divergence)(jnp.stack([a1, a2]), jnp.stack([b1, b2]))
+    return d[0], d[1]
+
+
 # ---------------------------------------------------------------------------
 # BPG
 # ---------------------------------------------------------------------------
@@ -152,8 +164,7 @@ def _abpg_step(cfg, prob, c, k):
     z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
     x_new = (1.0 - theta) * x + theta * z_new
 
-    dxy = h.divergence(x_new, y)
-    dzz = h.divergence(z_new, z)
+    dxy, dzz = _div_pair(h, x_new, y, z_new, z)
     Gdr = dxy / dzz / theta**gam
 
     theta_c, kk, z_new = _abpg_restart(cfg, c, k, Fk, g, x_new, z_new,
@@ -213,7 +224,8 @@ def _abpg_expo_step(cfg, prob, c, k):
     x, z, kk, gamma = c["x"], c["z"], c["kk"], c["gamma"]
     dt = x.dtype
     one = jnp.asarray(1.0, dt)
-    fx = f.value(x)
+    # f(x) carried from the previous accepted trial (see _abpg_gain_step)
+    fx = c["fx"]
     Fk = fx + h.extra_psi(x)
 
     if cfg.theta_eq:
@@ -227,14 +239,16 @@ def _abpg_expo_step(cfg, prob, c, k):
     def attempt(gm):
         z_new = h.div_prox_map(z, g, theta ** (gm - 1.0) * L)
         x_new = (1.0 - theta) * x + theta * z_new
-        dxy = h.divergence(x_new, y)
-        dzz = h.divergence(z_new, z)
+        dxy, dzz = _div_pair(h, x_new, y, z_new, z)
         Gdr = dxy / dzz / theta**gm
         if cfg.checkdiv:
+            fxn = jnp.asarray(jnp.nan, dt)  # filled in once after the loop
             fail = ~(dxy <= Gmargin * theta**gm * dzz)
         else:
-            fail = ~(f.value(x_new) <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
-        return dict(gamma=gm, z=z_new, x=x_new, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
+            fxn = f.value(x_new)
+            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
+        return dict(gamma=gm, z=z_new, x=x_new, dxy=dxy, dzz=dzz, Gdr=Gdr,
+                    fxn=fxn, fail=fail)
 
     s = attempt(gamma)
     s = lax.while_loop(
@@ -244,6 +258,7 @@ def _abpg_expo_step(cfg, prob, c, k):
     )
     gamma, z_new, x_new = s["gamma"], s["z"], s["x"]
     dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+    fx_new = f.value(x_new) if cfg.checkdiv else s["fxn"]
 
     kk = kk + 1
     theta_c = theta
@@ -258,7 +273,7 @@ def _abpg_expo_step(cfg, prob, c, k):
 
     stop = dzz < prob["eps"]
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
-              gamma=gamma, F_prev=Fk)
+              gamma=gamma, F_prev=Fk, fx=fx_new)
     return c2, dict(F=Fk, Gamma=gamma, G=Gdr, theta=theta, dxy=dxy,
                     dzz=dzz, _stop=stop)
 
@@ -283,7 +298,8 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
                 delta=jnp.asarray(delta, dt), Gmargin=jnp.asarray(Gmargin, dt))
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
-                 gamma=jnp.asarray(gamma0, dt), F_prev=jnp.asarray(jnp.inf, dt))
+                 gamma=jnp.asarray(gamma0, dt), F_prev=jnp.asarray(jnp.inf, dt),
+                 fx=jnp.asarray(f.value(x0), dt))
     header = ("\nABPG_expo method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       theta       gamma        TSG       D(x+,y)     D(z+,z)     time")
 
@@ -319,7 +335,11 @@ def _abpg_gain_step(cfg, prob, c, k):
     G_1, theta_1 = c["G"], c["theta"]
     dt = x.dtype
     one = jnp.asarray(1.0, dt)
-    fx = f.value(x)
+    # f(x) was already computed by the accepted trial of the PREVIOUS
+    # iteration (the descent acceptance evaluates f(x_new)); the carry
+    # threads it forward so each iteration spends oracle evaluations on
+    # the trial point only.  c["fx"] is initialized eagerly at f(x0).
+    fx = c["fx"]
     Fk = fx + h.extra_psi(x)
 
     def attempt(G, t):
@@ -336,17 +356,18 @@ def _abpg_gain_step(cfg, prob, c, k):
         fy, g = f.value_and_grad(y)
         z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
         x_new = (1.0 - theta) * x + theta * z_new
-        dxy = h.divergence(x_new, y)
-        dzz = h.divergence(z_new, z)
+        dxy, dzz = _div_pair(h, x_new, y, z_new, z)
         early = dzz < eps
         Gdr = dxy / dzz / theta**gam
         if cfg.checkdiv:
+            fxn = jnp.asarray(jnp.nan, dt)  # filled in once after the loop
             fail = ~(Gdr <= G)
         else:
-            fail = ~(f.value(x_new) <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
+            fxn = f.value(x_new)
+            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
         fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
         return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, dxy=dxy,
-                    dzz=dzz, Gdr=Gdr, fail=fail, t=t)
+                    dzz=dzz, Gdr=Gdr, fxn=fxn, fail=fail, t=t)
 
     s = attempt(G_1 / ls_dec, 0)
     s = lax.while_loop(
@@ -357,6 +378,7 @@ def _abpg_gain_step(cfg, prob, c, k):
     G, theta, g = s["G"], s["theta"], s["g"]
     z_new, x_new = s["z"], s["x"]
     dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+    fx_new = f.value(x_new) if cfg.checkdiv else s["fxn"]
 
     sumlogG = c["sumlogG"] + jnp.log(G)
     Gavg = jnp.exp(sumlogG / (gam + k.astype(dt)))
@@ -374,7 +396,7 @@ def _abpg_gain_step(cfg, prob, c, k):
 
     stop = dzz < eps
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
-              G=G, sumlogG=sumlogG, F_prev=Fk)
+              G=G, sumlogG=sumlogG, F_prev=Fk, fx=fx_new)
     return c2, dict(F=Fk, Gain=G, Gdiv=Gdr, Gavg=Gavg, theta=theta,
                     dxy=dxy, dzz=dzz, _stop=stop)
 
@@ -405,7 +427,8 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  G=G0a, sumlogG=gam * jnp.log(G0a),
-                 F_prev=jnp.asarray(jnp.inf, dt))
+                 F_prev=jnp.asarray(jnp.inf, dt),
+                 fx=jnp.asarray(f.value(x0), dt))
     header = ("\nABPG_gain method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       theta         Gk         TSG       D(x+,y)     D(z+,z)      Gavg       time")
 
@@ -452,8 +475,7 @@ def _abda_step(cfg, prob, c, k):
     z_new = h.prox_map(gavg / csum, L / csum)
     x_new = (1.0 - theta) * x + theta * z_new
 
-    dxy = h.divergence(x_new, y)
-    dzz = h.divergence(z_new, z)
+    dxy, dzz = _div_pair(h, x_new, y, z_new, z)
     Gdr = dxy / dzz / theta**gam
     stop = dzz < prob["eps"]
 

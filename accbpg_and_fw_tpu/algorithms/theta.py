@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def solve_theta(theta, gamma, gainratio=1.0, max_iters=64):
+def solve_theta(theta, gamma, gainratio=1.0, max_iters=64, unroll=12):
     theta = jnp.asarray(theta)
     gamma = jnp.asarray(gamma, theta.dtype)
     gainratio = jnp.asarray(gainratio, theta.dtype)
@@ -23,15 +23,30 @@ def solve_theta(theta, gamma, gainratio=1.0, max_iters=64):
     def phi(t):
         return t**gamma - ckg * (1.0 - t)
 
+    def step(t, ph):
+        upd = jnp.abs(ph) > eps
+        drv = gamma * t ** (gamma - 1.0) + ckg
+        t_new = jnp.where(upd, t - ph / drv, t)
+        return t_new, jnp.where(upd, phi(t_new), ph)
+
+    # Newton typically converges in 3-6 iterations; a fixed guarded unroll
+    # keeps the whole solve inside the surrounding fusion (a scalar
+    # lax.while_loop inside a scan body serializes the pipeline per
+    # iteration).  The bounded while below only runs in the rare
+    # not-yet-converged case — its condition is checked once when the
+    # unrolled steps already landed.
+    t, ph = theta, phi(theta)
+    for _ in range(unroll):
+        t, ph = step(t, ph)
+
     def cond(state):
         t, ph, it = state
         return jnp.logical_and(jnp.abs(ph) > eps, it < max_iters)
 
     def body(state):
         t, ph, it = state
-        drv = gamma * t ** (gamma - 1.0) + ckg
-        t = t - ph / drv
-        return t, phi(t), it + 1
+        t, ph = step(t, ph)
+        return t, ph, it + 1
 
-    t, _, _ = lax.while_loop(cond, body, (theta, phi(theta), 0))
+    t, _, _ = lax.while_loop(cond, body, (t, ph, unroll))
     return t
