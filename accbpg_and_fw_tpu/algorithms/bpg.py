@@ -401,10 +401,180 @@ def _abpg_gain_step(cfg, prob, c, k):
                     dxy=dxy, dzz=dzz, _stop=stop)
 
 
+# ---------------------------------------------------------------------------
+# ABPG_gain fast-Gram specialization (D-opt linear-Gram oracles)
+# ---------------------------------------------------------------------------
+
+_SERIES_TAU2 = 0.03 ** 2  # ||E||_F^2 gate for the 8-term logdet series
+_WARM_TAU2 = 0.05 ** 2    # gate for warm-starting Schulz from the carry
+
+
+def _schulz(M, G, steps=4):
+    """Newton-Schulz inverse polish: M <- 2M - M G M (matmul-only; the
+    error ||I - G M|| SQUARES per step, so 4 steps take a 5e-2 warm start
+    or a 1e-3 f32-Cholesky seed to below 1e-12)."""
+    for _ in range(steps):
+        M = 2.0 * M - M @ (G @ M)
+    return M
+
+
+def _series_logdet(E):
+    """log det(I - E) via 8 trace terms and 3 m x m matmuls.
+
+    tr(E^j) for j = 5..8 come free as elementwise contractions of the
+    computed powers (tr(AB) = sum(A * B^T)).  Truncation error is
+    <= m ||E||^9 / (9 (1 - ||E||)) ~ 6e-13 at the gate ||E||_F <= 0.03.
+    """
+    E2 = E @ E
+    E3 = E @ E2
+    E4 = E2 @ E2
+    t1 = jnp.trace(E)
+    t2 = jnp.trace(E2)
+    t3 = jnp.trace(E3)
+    t4 = jnp.trace(E4)
+    t5 = jnp.sum(E2 * E3.T)
+    t6 = jnp.sum(E3 * E3.T)
+    t7 = jnp.sum(E3 * E4.T)
+    t8 = jnp.sum(E4 * E4.T)
+    return -(t1 + t2 / 2 + t3 / 3 + t4 / 4 + t5 / 5 + t6 / 6 + t7 / 7
+             + t8 / 8)
+
+
+def _abpg_gain_dopt_step(cfg, prob, c, k):
+    """ABPG_gain specialized to linear-Gram D-opt oracles (fast_gram=True).
+
+    G(x) = V diag(x) V^T is LINEAR in x and the ABPG iterates y and x+ are
+    convex combinations of carried points, so their Grams are m x m
+    combinations of carried Grams — each line-search trial pays exactly ONE
+    full O(m^2 n) contraction (the fresh prox output z+).  The m x m
+    factorization is replaced by a warm-started Schulz inverse (matmul-only,
+    seeded from the previous trial's inverse or the oracle's f32 seed when
+    the iterate moved too far), and log-determinants advance through the
+    exact identity  logdet G' = logdet G - logdet(M G)  +  logdet(M G')
+    for M ~= G'^{-1}, each factor an 8-term trace series when
+    ||I - M G||_F <= 0.03 and the oracle's full factorization otherwise
+    (small-operand lax.cond — fine inside scan).
+
+    Same mathematical trajectory as ``_abpg_gain_step`` up to f64-grade
+    roundoff (~1e-12); the discrete gain line search makes the realized
+    path diverge chaotically from the generic step's, like every other
+    valid arithmetic change (see tests/test_mixed_oracle.py).  Opt-in via
+    ``ABPG_gain(..., fast_gram=True)``; single-device layouts.
+    """
+    f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
+    ls_inc, ls_dec, eps = prob["ls_inc"], prob["ls_dec"], prob["eps"]
+    x, z, kk = c["x"], c["z"], c["kk"]
+    Gx, Gz, M_1 = c["Gx"], c["Gz"], c["Minv"]
+    G_1, theta_1 = c["G"], c["theta"]
+    dt = x.dtype
+    one = jnp.asarray(1.0, dt)
+    eye = jnp.eye(Gx.shape[0], dtype=dt)
+    fx = c["fx"]
+    ld_x = -fx
+    Fk = fx + h.extra_psi(x)
+
+    def attempt(G, t):
+        if cfg.theta_eq:
+            theta = jnp.where(kk > 0, solve_theta(theta_1, gam, G / G_1), theta_1)
+        else:
+            alpha = G / G_1
+            theta = jnp.where(
+                kk > 0,
+                theta_1 * ((1.0 + alpha * (gam - 1.0)) / (gam * alpha + theta_1)),
+                theta_1,
+            )
+        y = (1.0 - theta) * x + theta * z
+        Gy = (1.0 - theta) * Gx + theta * Gz
+        # inverse at y: warm Schulz from the carried inverse, f32 reseed
+        # when the Gram moved too far for quadratic convergence
+        E0 = eye - M_1 @ Gy
+        warm_ok = jnp.sum(E0 * E0) <= _WARM_TAU2
+        M0 = lax.cond(warm_ok, lambda: M_1, lambda: f.inv_seed(Gy))
+        M = _schulz(M0, Gy)
+        # logdet Gy = ld_x - logdet(M Gx)   [M ~= Gy^{-1}]
+        Ex = eye - M @ Gx
+        ok_x = jnp.sum(Ex * Ex) <= _SERIES_TAU2
+        ld_y = lax.cond(ok_x,
+                        lambda: ld_x - _series_logdet(Ex),
+                        lambda: f.logdet_full(Gy))
+        fy = -ld_y
+        g = f.grad_from_inv(M)
+        z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
+        x_new = (1.0 - theta) * x + theta * z_new
+        Gz_new = f.gram(z_new)
+        Gx_new = (1.0 - theta) * Gx + theta * Gz_new
+        # logdet Gx_new = ld_y + logdet(M Gx_new)
+        Exn = eye - M @ Gx_new
+        ok_xn = jnp.sum(Exn * Exn) <= _SERIES_TAU2
+        ld_xn = lax.cond(ok_xn,
+                         lambda: ld_y + _series_logdet(Exn),
+                         lambda: f.logdet_full(Gx_new))
+        fxn = -ld_xn
+        dxy, dzz = _div_pair(h, x_new, y, z_new, z)
+        early = dzz < eps
+        Gdr = dxy / dzz / theta**gam
+        if cfg.checkdiv:
+            fail = ~(Gdr <= G)
+        else:
+            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
+        fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
+        return dict(G=G, theta=theta, g=g, z=z_new, x=x_new,
+                    Gz=Gz_new, Gx=Gx_new, Minv=M, fxn=fxn, dxy=dxy,
+                    dzz=dzz, Gdr=Gdr, fail=fail, t=t)
+
+    s = attempt(G_1 / ls_dec, 0)
+    s = lax.while_loop(
+        lambda s: s["fail"],
+        lambda s: attempt(s["G"] * ls_inc, s["t"] + 1),
+        s,
+    )
+    G, theta, g = s["G"], s["theta"], s["g"]
+    z_new, x_new = s["z"], s["x"]
+    Gz_new, Gx_new = s["Gz"], s["Gx"]
+    dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+
+    sumlogG = c["sumlogG"] + jnp.log(G)
+    Gavg = jnp.exp(sumlogG / (gam + k.astype(dt)))
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        if cfg.restart_rule == 'f':
+            trig = Fk > c["F_prev"]
+        else:
+            trig = jnp.vdot(g, x_new - x) > 0
+        theta_c = jnp.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = _tree_where(trig, x_new, z_new)
+        Gz_new = _tree_where(trig, Gx_new, Gz_new)
+
+    stop = dzz < eps
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
+              G=G, sumlogG=sumlogG, F_prev=Fk, fx=s["fxn"],
+              Gx=Gx_new, Gz=Gz_new, Minv=s["Minv"])
+    return c2, dict(F=Fk, Gain=G, Gdiv=Gdr, Gavg=Gavg, theta=theta,
+                    dxy=dxy, dzz=dzz, _stop=stop)
+
+
+def _dopt_state_refresh(f):
+    """between_chunks hook: recontract the carried Grams and logdet from
+    the exact iterates so combination/series roundoff cannot accumulate
+    past one chunk (~1e-16/step worst-case drift)."""
+
+    def refresh(carry, k_next):
+        Gx = f.gram(carry["x"])
+        Gz = f.gram(carry["z"])
+        ld = f.logdet_full(Gx)
+        return {**carry, "Gx": Gx, "Gz": Gz, "fx": -ld,
+                "Minv": _schulz(f.inv_seed(Gx), Gx)}
+
+    return refresh
+
+
 def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
               ls_inc=1.2, ls_dec=1.2, theta_eq=True, checkdiv=False,
               restart=False, restart_rule='g', verbose=True, verbskip=1,
-              chunk=None, checkpoint=None):
+              chunk=None, checkpoint=None, fast_gram=False):
     """ABPG with gain adaption ("ABPG-g", the workhorse): per-iteration line
     search on the triangle-scaling gain G (optimistic divide by ls_dec, then
     multiply by ls_inc on failure), theta from solve_theta(theta_1, gamma,
@@ -416,6 +586,15 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
     history slot F[-1] == 0 and restarts whenever F[0] > 0
     (algorithms.py:404-405); here F_prev starts at +inf so the k=0
     comparison never triggers (see ABPG_expo).
+
+    ``fast_gram=True`` switches to the stateful linear-Gram step for
+    D-opt oracles exposing the fast-Gram protocol (``gram``,
+    ``logdet_full``, ``inv_seed``, ``grad_from_inv`` — DOptimalObj and
+    DOptimalObjMixed): one O(m^2 n) contraction per line-search trial
+    instead of three, no m x m factorization in the hot loop (see
+    ``_abpg_gain_dopt_step``).  Same method, different-but-valid
+    arithmetic: the realized trajectory deviates chaotically through the
+    discrete gain line search while converging at the same rate.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
@@ -427,8 +606,24 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  G=G0a, sumlogG=gam * jnp.log(G0a),
-                 F_prev=jnp.asarray(jnp.inf, dt),
-                 fx=jnp.asarray(f.value(x0), dt))
+                 F_prev=jnp.asarray(jnp.inf, dt))
+    between_chunks = None
+    if fast_gram:
+        if not all(hasattr(f, a) for a in
+                   ("gram", "logdet_full", "inv_seed", "grad_from_inv")):
+            raise ValueError(
+                "fast_gram=True needs a linear-Gram oracle exposing "
+                "gram/logdet_full/inv_seed/grad_from_inv "
+                "(DOptimalObj or DOptimalObjMixed)")
+        G0m = f.gram(x0)
+        carry.update(Gx=G0m, Gz=G0m,
+                     Minv=_schulz(f.inv_seed(G0m), G0m),
+                     fx=jnp.asarray(-f.logdet_full(G0m), dt))
+        step = _abpg_gain_dopt_step
+        between_chunks = _dopt_state_refresh(f)
+    else:
+        carry.update(fx=jnp.asarray(f.value(x0), dt))
+        step = _abpg_gain_step
     header = ("\nABPG_gain method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       theta         Gk         TSG       D(x+,y)     D(z+,z)      Gavg       time")
 
@@ -438,10 +633,11 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
 
     cfg = _ABPGGainCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
                        restart=bool(restart), restart_rule=str(restart_rule))
-    carry, hist, T = run_driver(_abpg_gain_step, carry, maxitrs,
+    carry, hist, T = run_driver(step, carry, maxitrs,
                                 verbose=verbose, verbskip=verbskip,
                                 header=header, print_row=row, chunk=chunk,
-                                checkpoint=checkpoint, problem=prob, cfg=cfg)
+                                checkpoint=checkpoint, problem=prob, cfg=cfg,
+                                between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["Gain"], hist["Gdiv"], hist["Gavg"], T
 
 

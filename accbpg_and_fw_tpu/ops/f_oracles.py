@@ -65,6 +65,27 @@ class DOptimalObj(SmoothOracle):
         g = -jnp.sum(W * W, axis=0)
         return f, g
 
+    # -- fast-Gram protocol (stateful accelerated drivers; ABPG_gain
+    #    fast_gram=True).  The Gram G(x) = H diag(x) H^T is linear in x, so
+    #    drivers whose iterates are convex combinations of carried points
+    #    can combine carried m x m Grams instead of recontracting. --
+
+    def gram(self, x):
+        return (self.H * x) @ self.H.T
+
+    def logdet_full(self, G):
+        R = jnp.linalg.cholesky(G)
+        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(R)))
+
+    def inv_seed(self, G):
+        """Approximate inverse of the m x m Gram, to be Schulz-polished by
+        the caller (matmul-only refinement; see bpg._schulz)."""
+        R = jnp.linalg.cholesky(G)
+        return cho_solve((R, True), jnp.eye(self.m, dtype=G.dtype))
+
+    def grad_from_inv(self, M):
+        return -jnp.sum(self.H * (M @ self.H), axis=0)
+
 
 @pytree_dataclass
 class DOptimalObjMixed(SmoothOracle):
@@ -185,6 +206,29 @@ class DOptimalObjMixed(SmoothOracle):
                          levels_m=self.levels, max_diag=self.max_diag)
         g = -jnp.sum(self.H * MV, axis=0)
         return f, g
+
+    # -- fast-Gram protocol (see DOptimalObj): the int8-Ozaki Gram is the
+    #    ONE full contraction a stateful driver trial pays. --
+
+    def gram(self, x):
+        return self._gram(x)
+
+    def logdet_full(self, G):
+        return self._chol32_logdet(G)[1]
+
+    def inv_seed(self, G):
+        """f32-Cholesky inverse seed (relative error ~1e-7 * cond) for the
+        caller's Schulz polish — no emulated-f64 factorization."""
+        R = jnp.linalg.cholesky(G.astype(jnp.float32))
+        eye = jnp.eye(self.m, dtype=jnp.float32)
+        return cho_solve((R, True), eye).astype(jnp.float64)
+
+    def grad_from_inv(self, M):
+        from . import mixed_precision as mp
+
+        MV = mp.ozaki_mm(M, self.V_packed, self.sV_cols, self.levels,
+                         levels_m=self.levels, max_diag=self.max_diag)
+        return -jnp.sum(self.H * MV, axis=0)
 
 
 @pytree_dataclass
