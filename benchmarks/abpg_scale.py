@@ -290,11 +290,17 @@ def run_f64():
     x064 = jnp.asarray(np.asarray(x0, np.float64))
     bench("f64_dopt_30x1000_bpg_ls_autocpu", lambda: acc.BPG(
         f64, h, L, x064, maxitrs=9000, linesearch=True, verbose=False))
+    fmx_b = acc.DOptimalObjMixed.from_design(H64)
+    bench("f64_dopt_30x1000_bpg_ls_mixed_tpu", lambda: acc.BPG(
+        fmx_b, h, L, x064, maxitrs=9000, linesearch=True, verbose=False))
     bench("f64_dopt_30x1000_abpg_gain_autocpu", lambda: acc.ABPG_gain(
         f64, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
     fmx = acc.DOptimalObjMixed.from_design(H64)
     bench("f64_dopt_30x1000_abpg_gain_mixed_tpu", lambda: acc.ABPG_gain(
         fmx, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
+    bench("f64_dopt_30x1000_abpg_gain_mixed_fastgram", lambda: acc.ABPG_gain(
+        fmx, h, L, x064, gamma=2, maxitrs=9000, verbose=False,
+        fast_gram=True))
 
     f2, h2, L2, x02 = probs["dopt_30x10000"]
     H2 = np.asarray(f2.H, np.float64)
@@ -302,6 +308,9 @@ def run_f64():
     x0264 = jnp.asarray(np.asarray(x02, np.float64))
     bench("f64_dopt_30x10000_abpg_gain_mixed_tpu", lambda: acc.ABPG_gain(
         fmx2, h2, L2, x0264, gamma=2, maxitrs=9000, verbose=False))
+    bench("f64_dopt_30x10000_abpg_gain_mixed_fastgram", lambda: acc.ABPG_gain(
+        fmx2, h2, L2, x0264, gamma=2, maxitrs=9000, verbose=False,
+        fast_gram=True))
 
     f3, h3, L3, x03 = probs["kl_1000x100"]
     f364 = acc.KLdivRegression(A=jnp.asarray(np.asarray(f3.A, np.float64)),
