@@ -89,14 +89,71 @@ def _bpg_step(cfg, prob, c, k):
     return c2, dict(F=Fk, Ls=Lk, _stop=stop)
 
 
+def _bpg_dopt_step(cfg, prob, c, k):
+    """BPG specialized to linear-Gram D-opt oracles (fast_gram=True).
+
+    Per iteration: the gradient comes from a warm-started Schulz inverse
+    of the CARRIED Gram (the accepted trial of the previous iteration
+    already contracted it), and each line-search trial pays one fresh
+    Gram plus a trace-series log-det instead of a full oracle value.
+    See ``fastgram`` for the machinery and accuracy gates.
+    """
+    from . import fastgram as fg
+
+    f, h = prob["f"], prob["h"]
+    x, Lk = c["x"], c["L"]
+    Gx, M_1 = c["Gx"], c["Minv"]
+    fx = c["fx"]
+    ld_x = -fx
+    M = fg.inv_at(f, Gx, M_1)
+    g = f.grad_from_inv(M)
+    Fk = fx + h.extra_psi(x)
+    stop = (k > 0) & (jnp.abs(Fk - c["F_prev"]) < prob["eps"])
+
+    def trial(Lt):
+        x1 = h.div_prox_map(x, g, Lt)
+        G1 = f.gram(x1)
+        ld1 = fg.anchored_logdet(f, ld_x, 1.0, M, G1, G1)
+        f1 = -ld1
+        fail = ~(f1 <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
+        return x1, G1, f1, fail
+
+    if cfg.linesearch:
+        ls_ratio = prob["ls_ratio"]
+        L1 = Lk / ls_ratio
+        x1, G1, f1, fail = trial(L1)
+
+        def cond(s):
+            return s[4] & (s[5] < _LS_MAX)
+
+        def body(s):
+            Lt = s[0] * ls_ratio
+            x1t, G1t, f1t, failt = trial(Lt)
+            return (Lt, x1t, G1t, f1t, failt, s[5] + 1)
+
+        Lk, x_new, G_new, fx_new, _, _ = lax.while_loop(
+            cond, body, (L1, x1, G1, f1, fail, 0))
+    else:
+        x_new, G_new, fx_new, _ = trial(Lk)
+
+    c2 = dict(done=c["done"], x=x_new, L=Lk, F_prev=Fk,
+              Gx=G_new, Minv=M, fx=fx_new)
+    return c2, dict(F=Fk, Ls=Lk, _stop=stop)
+
+
 def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
-        verbose=True, verbskip=1, chunk=None, checkpoint=None):
+        verbose=True, verbskip=1, chunk=None, checkpoint=None,
+        fast_gram=False):
     """Bregman Proximal Gradient method for min_{x in C} f(x) + Psi(x):
 
         x_{k+1} = argmin_{x in C} { Psi(x) + <f'(x_k), x> + L_k D_h(x, x_k) }
 
     with optional backtracking on the relative smoothness constant L
     (reference: algorithms.py:11-72).  Returns ``(x, F, Ls, T)``.
+
+    ``fast_gram=True``: stateful linear-Gram step for D-opt oracles
+    (see ``ABPG_gain``): one Gram per line-search trial, matmul-only
+    inverse, trace-series log-dets.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
@@ -104,17 +161,27 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
                 ls_ratio=jnp.asarray(ls_ratio, dt))
     carry = dict(done=jnp.asarray(False), x=x0, L=jnp.asarray(L, dt),
                  F_prev=jnp.asarray(jnp.inf, dt))
+    between_chunks = None
+    step = _bpg_step
+    if fast_gram:
+        _fg.require_fast_gram(f)
+        st = _fg.init_state(f, x0)
+        carry.update(Gx=st["G0"], Minv=st["M0"],
+                     fx=jnp.asarray(-st["ld0"], dt))
+        step = _bpg_dopt_step
+        between_chunks = _dopt_state_refresh(f, with_z=False)
     header = ("\nBPG_LS method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)         Lk       time")
 
     def row(k, r, t):
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(k, r["F"], r["Ls"], t))
 
-    carry, hist, T = run_driver(_bpg_step, carry, maxitrs, verbose=verbose,
+    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_BPGCfg(linesearch=bool(linesearch)))
+                                cfg=_BPGCfg(linesearch=bool(linesearch)),
+                                between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["Ls"], T
 
 
@@ -174,14 +241,66 @@ def _abpg_step(cfg, prob, c, k):
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
+def _abpg_dopt_step(cfg, prob, c, k):
+    """Plain ABPG specialized to linear-Gram D-opt oracles (fast_gram=True):
+    no oracle value calls at all — the gradient comes from the Schulz
+    inverse of the combined Gram at y, and the F history advances through
+    two trace-series log-det shifts anchored at the carried logdet(G(x)).
+    """
+    from . import fastgram as fg
+
+    f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
+    x, z, kk = c["x"], c["z"], c["kk"]
+    Gx, Gz, M_1 = c["Gx"], c["Gz"], c["Minv"]
+    fx = c["fx"]
+    ld_x = -fx
+    Fk = fx + h.extra_psi(x)
+
+    theta = _abpg_theta(cfg, prob, c)
+    y = (1.0 - theta) * x + theta * z
+    Gy = (1.0 - theta) * Gx + theta * Gz
+    M = fg.inv_at(f, Gy, M_1)
+    g = f.grad_from_inv(M)
+    z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
+    x_new = (1.0 - theta) * x + theta * z_new
+    Gz_new = f.gram(z_new)
+    Gx_new = (1.0 - theta) * Gx + theta * Gz_new
+    ld_y = fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
+    ld_xn = fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+
+    dxy, dzz = _div_pair(h, x_new, y, z_new, z)
+    Gdr = dxy / dzz / theta**gam
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        dt = x.dtype
+        if cfg.restart_rule == 'f':
+            trig = (k > 0) & (Fk > c["F_prev"])
+        else:
+            trig = (k > 0) & (jnp.vdot(g, x_new - x) > 0)
+        theta_c = jnp.where(trig, jnp.asarray(1.0, dt), theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = _tree_where(trig, x_new, z_new)
+        Gz_new = _tree_where(trig, Gx_new, Gz_new)
+    stop = dzz < prob["eps"]
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
+              F_prev=Fk, Gx=Gx_new, Gz=Gz_new, Minv=M, fx=-ld_xn)
+    return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
+
+
 def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
          restart=False, restart_rule='g', verbose=True, verbskip=1,
-         chunk=None, checkpoint=None):
+         chunk=None, checkpoint=None, fast_gram=False):
     """Accelerated Bregman Proximal Gradient (reference: algorithms.py:94-180).
 
     Triple-sequence update with TSE gamma; theta from gamma/(k+gamma) or the
     Newton equality; optional function ('f') / gradient ('g') restart.
     Returns ``(x, F, G, T)`` with G the triangle-scaling gains.
+
+    ``fast_gram=True``: stateful linear-Gram step for D-opt oracles (see
+    ``ABPG_gain``) — zero full oracle evaluations per iteration beyond the
+    one Gram of the fresh prox point.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
@@ -190,6 +309,15 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  F_prev=jnp.asarray(jnp.inf, dt))
+    between_chunks = None
+    step = _abpg_step
+    if fast_gram:
+        _fg.require_fast_gram(f)
+        st = _fg.init_state(f, x0)
+        carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
+                     fx=jnp.asarray(-st["ld0"], dt))
+        step = _abpg_dopt_step
+        between_chunks = _dopt_state_refresh(f)
     header = ("\nABPG method for minimize_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       theta        TSG       D(x+,y)     D(z+,z)     time")
 
@@ -199,10 +327,11 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
 
     cfg = _ABPGCfg(theta_eq=bool(theta_eq), restart=bool(restart),
                    restart_rule=str(restart_rule))
-    carry, hist, T = run_driver(_abpg_step, carry, maxitrs, verbose=verbose,
+    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
-                                checkpoint=checkpoint, problem=prob, cfg=cfg)
+                                checkpoint=checkpoint, problem=prob, cfg=cfg,
+                                between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["G"], T
 
 
@@ -402,42 +531,11 @@ def _abpg_gain_step(cfg, prob, c, k):
 
 
 # ---------------------------------------------------------------------------
-# ABPG_gain fast-Gram specialization (D-opt linear-Gram oracles)
+# Fast-Gram specializations (D-opt linear-Gram oracles) — shared machinery
+# in algorithms/fastgram.py
 # ---------------------------------------------------------------------------
 
-_SERIES_TAU2 = 0.03 ** 2  # ||E||_F^2 gate for the 8-term logdet series
-_WARM_TAU2 = 0.05 ** 2    # gate for warm-starting Schulz from the carry
-
-
-def _schulz(M, G, steps=4):
-    """Newton-Schulz inverse polish: M <- 2M - M G M (matmul-only; the
-    error ||I - G M|| SQUARES per step, so 4 steps take a 5e-2 warm start
-    or a 1e-3 f32-Cholesky seed to below 1e-12)."""
-    for _ in range(steps):
-        M = 2.0 * M - M @ (G @ M)
-    return M
-
-
-def _series_logdet(E):
-    """log det(I - E) via 8 trace terms and 3 m x m matmuls.
-
-    tr(E^j) for j = 5..8 come free as elementwise contractions of the
-    computed powers (tr(AB) = sum(A * B^T)).  Truncation error is
-    <= m ||E||^9 / (9 (1 - ||E||)) ~ 6e-13 at the gate ||E||_F <= 0.03.
-    """
-    E2 = E @ E
-    E3 = E @ E2
-    E4 = E2 @ E2
-    t1 = jnp.trace(E)
-    t2 = jnp.trace(E2)
-    t3 = jnp.trace(E3)
-    t4 = jnp.trace(E4)
-    t5 = jnp.sum(E2 * E3.T)
-    t6 = jnp.sum(E3 * E3.T)
-    t7 = jnp.sum(E3 * E4.T)
-    t8 = jnp.sum(E4 * E4.T)
-    return -(t1 + t2 / 2 + t3 / 3 + t4 / 4 + t5 / 5 + t6 / 6 + t7 / 7
-             + t8 / 8)
+from . import fastgram as _fg
 
 
 def _abpg_gain_dopt_step(cfg, prob, c, k):
@@ -468,7 +566,6 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
     G_1, theta_1 = c["G"], c["theta"]
     dt = x.dtype
     one = jnp.asarray(1.0, dt)
-    eye = jnp.eye(Gx.shape[0], dtype=dt)
     fx = c["fx"]
     ld_x = -fx
     Fk = fx + h.extra_psi(x)
@@ -485,18 +582,9 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
             )
         y = (1.0 - theta) * x + theta * z
         Gy = (1.0 - theta) * Gx + theta * Gz
-        # inverse at y: warm Schulz from the carried inverse, f32 reseed
-        # when the Gram moved too far for quadratic convergence
-        E0 = eye - M_1 @ Gy
-        warm_ok = jnp.sum(E0 * E0) <= _WARM_TAU2
-        M0 = lax.cond(warm_ok, lambda: M_1, lambda: f.inv_seed(Gy))
-        M = _schulz(M0, Gy)
+        M = _fg.inv_at(f, Gy, M_1)
         # logdet Gy = ld_x - logdet(M Gx)   [M ~= Gy^{-1}]
-        Ex = eye - M @ Gx
-        ok_x = jnp.sum(Ex * Ex) <= _SERIES_TAU2
-        ld_y = lax.cond(ok_x,
-                        lambda: ld_x - _series_logdet(Ex),
-                        lambda: f.logdet_full(Gy))
+        ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
         fy = -ld_y
         g = f.grad_from_inv(M)
         z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
@@ -504,11 +592,7 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
         Gz_new = f.gram(z_new)
         Gx_new = (1.0 - theta) * Gx + theta * Gz_new
         # logdet Gx_new = ld_y + logdet(M Gx_new)
-        Exn = eye - M @ Gx_new
-        ok_xn = jnp.sum(Exn * Exn) <= _SERIES_TAU2
-        ld_xn = lax.cond(ok_xn,
-                         lambda: ld_y + _series_logdet(Exn),
-                         lambda: f.logdet_full(Gx_new))
+        ld_xn = _fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
         fxn = -ld_xn
         dxy, dzz = _div_pair(h, x_new, y, z_new, z)
         early = dzz < eps
@@ -556,17 +640,18 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
                     dxy=dxy, dzz=dzz, _stop=stop)
 
 
-def _dopt_state_refresh(f):
+def _dopt_state_refresh(f, with_z=True):
     """between_chunks hook: recontract the carried Grams and logdet from
     the exact iterates so combination/series roundoff cannot accumulate
     past one chunk (~1e-16/step worst-case drift)."""
 
     def refresh(carry, k_next):
         Gx = f.gram(carry["x"])
-        Gz = f.gram(carry["z"])
-        ld = f.logdet_full(Gx)
-        return {**carry, "Gx": Gx, "Gz": Gz, "fx": -ld,
-                "Minv": _schulz(f.inv_seed(Gx), Gx)}
+        out = {**carry, "Gx": Gx, "fx": -f.logdet_full(Gx),
+               "Minv": _fg.schulz(f.inv_seed(Gx), Gx)}
+        if with_z:
+            out["Gz"] = f.gram(carry["z"])
+        return out
 
     return refresh
 
@@ -609,16 +694,10 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
                  F_prev=jnp.asarray(jnp.inf, dt))
     between_chunks = None
     if fast_gram:
-        if not all(hasattr(f, a) for a in
-                   ("gram", "logdet_full", "inv_seed", "grad_from_inv")):
-            raise ValueError(
-                "fast_gram=True needs a linear-Gram oracle exposing "
-                "gram/logdet_full/inv_seed/grad_from_inv "
-                "(DOptimalObj or DOptimalObjMixed)")
-        G0m = f.gram(x0)
-        carry.update(Gx=G0m, Gz=G0m,
-                     Minv=_schulz(f.inv_seed(G0m), G0m),
-                     fx=jnp.asarray(-f.logdet_full(G0m), dt))
+        _fg.require_fast_gram(f)
+        st = _fg.init_state(f, x0)
+        carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
+                     fx=jnp.asarray(-st["ld0"], dt))
         step = _abpg_gain_dopt_step
         between_chunks = _dopt_state_refresh(f)
     else:

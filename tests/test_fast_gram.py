@@ -93,6 +93,41 @@ def test_fast_gram_restart_and_checkdiv():
         assert F[-1] <= F[0], kw
 
 
+def test_fast_gram_bpg_matches_generic():
+    V, x0 = _instance()
+    f = acc.DOptimalObj(H=jnp.asarray(V, jnp.float64))
+    h = acc.ops.h_oracles.BurgEntropySimplex()
+    for ls in (True, False):
+        r_a = acc.BPG(f, h, 1.0, x0, maxitrs=250, linesearch=ls,
+                      verbose=False)
+        r_b = acc.BPG(f, h, 1.0, x0, maxitrs=250, linesearch=ls,
+                      verbose=False, fast_gram=True)
+        F_a, F_b = np.asarray(r_a[1]), np.asarray(r_b[1])
+        assert len(F_a) == len(F_b), ls
+        np.testing.assert_allclose(F_b[:10], F_a[:10], rtol=0, atol=1e-11)
+        # BPG has no chaotic gain schedule — trajectories stay together
+        np.testing.assert_allclose(F_b, F_a, rtol=1e-6)
+        assert abs(F_b[-1] - F_a[-1]) <= 1e-8 * abs(F_a[-1]), ls
+
+
+def test_fast_gram_abpg_matches_generic():
+    V, x0 = _instance()
+    f = acc.DOptimalObj(H=jnp.asarray(V, jnp.float64))
+    h = acc.ops.h_oracles.BurgEntropySimplex()
+    Fstar = _fstar(V, x0)
+    for kw in (dict(), dict(restart=True, restart_rule='g'),
+               dict(theta_eq=True)):
+        r_a = acc.ABPG(f, h, 1.0, x0, gamma=2, maxitrs=300, verbose=False,
+                       **kw)
+        r_b = acc.ABPG(f, h, 1.0, x0, gamma=2, maxitrs=300, verbose=False,
+                       fast_gram=True, **kw)
+        F_a, F_b = np.asarray(r_a[1]), np.asarray(r_b[1])
+        assert len(F_a) == len(F_b), kw
+        np.testing.assert_allclose(F_b[:10], F_a[:10], rtol=0, atol=1e-11)
+        ga, gb = F_a[-1] - Fstar, F_b[-1] - Fstar
+        assert gb <= 1.5 * ga + 1e-12 and ga <= 1.5 * gb + 1e-12, (kw, ga, gb)
+
+
 def test_fast_gram_rejects_plain_oracles():
     rng = np.random.default_rng(0)
     A = np.abs(rng.standard_normal((50, 20))) + 0.1
