@@ -407,10 +407,85 @@ def _abpg_expo_step(cfg, prob, c, k):
                     dzz=dzz, _stop=stop)
 
 
+def _abpg_expo_dopt_step(cfg, prob, c, k):
+    """ABPG_expo specialized to linear-Gram D-opt oracles (fast_gram=True):
+    the per-iteration gradient comes from the combined-Gram Schulz inverse
+    and each gamma-adaption trial pays one fresh Gram + series logdets
+    (see fastgram)."""
+    from . import fastgram as fg
+
+    f, h, L = prob["f"], prob["h"], prob["L"]
+    delta, Gmargin = prob["delta"], prob["Gmargin"]
+    x, z, kk, gamma = c["x"], c["z"], c["kk"], c["gamma"]
+    Gx, Gz, M_1 = c["Gx"], c["Gz"], c["Minv"]
+    dt = x.dtype
+    one = jnp.asarray(1.0, dt)
+    fx = c["fx"]
+    ld_x = -fx
+    Fk = fx + h.extra_psi(x)
+
+    if cfg.theta_eq:
+        theta = jnp.where(kk > 0, solve_theta(c["theta"], gamma), one)
+    else:
+        theta = gamma / (kk.astype(dt) + gamma)
+
+    y = (1.0 - theta) * x + theta * z
+    Gy = (1.0 - theta) * Gx + theta * Gz
+    M = fg.inv_at(f, Gy, M_1)
+    ld_y = fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
+    fy = -ld_y
+    g = f.grad_from_inv(M)
+
+    def attempt(gm):
+        z_new = h.div_prox_map(z, g, theta ** (gm - 1.0) * L)
+        x_new = (1.0 - theta) * x + theta * z_new
+        Gz_new = f.gram(z_new)
+        Gx_new = (1.0 - theta) * Gx + theta * Gz_new
+        ld_xn = fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+        fxn = -ld_xn
+        dxy, dzz = _div_pair(h, x_new, y, z_new, z)
+        Gdr = dxy / dzz / theta**gm
+        if cfg.checkdiv:
+            fail = ~(dxy <= Gmargin * theta**gm * dzz)
+        else:
+            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
+        return dict(gamma=gm, z=z_new, x=x_new, Gz=Gz_new, Gx=Gx_new,
+                    fxn=fxn, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
+
+    s = attempt(gamma)
+    s = lax.while_loop(
+        lambda s: s["fail"] & (s["gamma"] > 1.0),
+        lambda s: attempt(jnp.maximum(s["gamma"] - delta, one)),
+        s,
+    )
+    gamma, z_new, x_new = s["gamma"], s["z"], s["x"]
+    Gz_new, Gx_new = s["Gz"], s["Gx"]
+    dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        if cfg.restart_rule == 'f':
+            trig = Fk > c["F_prev"]
+        else:
+            trig = jnp.vdot(g, x_new - x) > 0
+        theta_c = jnp.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = _tree_where(trig, x_new, z_new)
+        Gz_new = _tree_where(trig, Gx_new, Gz_new)
+
+    stop = dzz < prob["eps"]
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
+              gamma=gamma, F_prev=Fk, Gx=Gx_new, Gz=Gz_new, Minv=M,
+              fx=s["fxn"])
+    return c2, dict(F=Fk, Gamma=gamma, G=Gdr, theta=theta, dxy=dxy,
+                    dzz=dzz, _stop=stop)
+
+
 def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
               theta_eq=True, checkdiv=False, Gmargin=10, restart=False,
               restart_rule='g', verbose=True, verbskip=1, chunk=None,
-              checkpoint=None):
+              checkpoint=None, fast_gram=False):
     """ABPG with exponent adaption: start gamma0 > 2, decrease gamma by
     ``delta`` (floor 1) while the TSE inequality / descent condition fails
     (reference: algorithms.py:183-292).  Returns ``(x, F, Gamma, G, T)``.
@@ -427,8 +502,18 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
                 delta=jnp.asarray(delta, dt), Gmargin=jnp.asarray(Gmargin, dt))
     carry = dict(done=jnp.asarray(False), x=x0, z=x0,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
-                 gamma=jnp.asarray(gamma0, dt), F_prev=jnp.asarray(jnp.inf, dt),
-                 fx=jnp.asarray(f.value(x0), dt))
+                 gamma=jnp.asarray(gamma0, dt), F_prev=jnp.asarray(jnp.inf, dt))
+    between_chunks = None
+    step = _abpg_expo_step
+    if fast_gram:
+        _fg.require_fast_gram(f)
+        st = _fg.init_state(f, x0)
+        carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
+                     fx=jnp.asarray(-st["ld0"], dt))
+        step = _abpg_expo_dopt_step
+        between_chunks = _dopt_state_refresh(f)
+    else:
+        carry.update(fx=jnp.asarray(f.value(x0), dt))
     header = ("\nABPG_expo method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       theta       gamma        TSG       D(x+,y)     D(z+,z)     time")
 
@@ -438,10 +523,11 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
 
     cfg = _ABPGExpoCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
                        restart=bool(restart), restart_rule=str(restart_rule))
-    carry, hist, T = run_driver(_abpg_expo_step, carry, maxitrs,
+    carry, hist, T = run_driver(step, carry, maxitrs,
                                 verbose=verbose, verbskip=verbskip,
                                 header=header, print_row=row, chunk=chunk,
-                                checkpoint=checkpoint, problem=prob, cfg=cfg)
+                                checkpoint=checkpoint, problem=prob, cfg=cfg,
+                                between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["Gamma"], hist["G"], T
 
 
@@ -759,12 +845,60 @@ def _abda_step(cfg, prob, c, k):
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
+def _abda_dopt_step(cfg, prob, c, k):
+    """ABDA specialized to linear-Gram D-opt oracles (fast_gram=True):
+    gradient from the combined-Gram Schulz inverse; F history through
+    anchored trace-series logdet shifts (see fastgram)."""
+    from . import fastgram as fg
+
+    f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
+    x, z, kk = c["x"], c["z"], c["kk"]
+    Gx, Gz, M_1 = c["Gx"], c["Gz"], c["Minv"]
+    dt = x.dtype
+    fx = c["fx"]
+    ld_x = -fx
+    Fk = fx + h.extra_psi(x)
+
+    if cfg.theta_eq:
+        theta = jnp.where(kk > 0, solve_theta(c["theta"], gam),
+                          jnp.asarray(1.0, dt))
+    else:
+        theta = gam / (kk.astype(dt) + gam)
+
+    y = (1.0 - theta) * x + theta * z
+    Gy = (1.0 - theta) * Gx + theta * Gz
+    M = fg.inv_at(f, Gy, M_1)
+    g = f.grad_from_inv(M)
+    w = theta ** (1.0 - gam)
+    gavg = c["gavg"] + w * g
+    csum = c["csum"] + w
+    z_new = h.prox_map(gavg / csum, L / csum)
+    x_new = (1.0 - theta) * x + theta * z_new
+    Gz_new = f.gram(z_new)
+    Gx_new = (1.0 - theta) * Gx + theta * Gz_new
+    ld_y = fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
+    ld_xn = fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+
+    dxy, dzz = _div_pair(h, x_new, y, z_new, z)
+    Gdr = dxy / dzz / theta**gam
+    stop = dzz < prob["eps"]
+
+    c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta, kk=kk + 1,
+              gavg=gavg, csum=csum, F_prev=Fk,
+              Gx=Gx_new, Gz=Gz_new, Minv=M, fx=-ld_xn)
+    return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
+
+
 def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
-         verbose=True, verbskip=1, chunk=None, checkpoint=None):
+         verbose=True, verbskip=1, chunk=None, checkpoint=None,
+         fast_gram=False):
     """Accelerated Bregman Dual Averaging: accumulates the weighted gradient
     average and uses the *primal* prox_map (reference: algorithms.py:423-514;
     restart is intentionally unsupported, :445-446).
     Returns ``(x, F, G, T)``.
+
+    ``fast_gram=True``: stateful linear-Gram step for D-opt oracles (see
+    ``ABPG_gain``).
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
@@ -774,6 +908,15 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
                  theta=jnp.asarray(1.0, dt), kk=jnp.asarray(0, jnp.int32),
                  gavg=jnp.zeros_like(x0), csum=jnp.asarray(0.0, dt),
                  F_prev=jnp.asarray(jnp.inf, dt))
+    between_chunks = None
+    step = _abda_step
+    if fast_gram:
+        _fg.require_fast_gram(f)
+        st = _fg.init_state(f, x0)
+        carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
+                     fx=jnp.asarray(-st["ld0"], dt))
+        step = _abda_dopt_step
+        between_chunks = _dopt_state_refresh(f)
     header = ("\nABDA method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)       theta        TSG       D(x+,y)     D(z+,z)     time")
 
@@ -781,9 +924,10 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
             k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
 
-    carry, hist, T = run_driver(_abda_step, carry, maxitrs, verbose=verbose,
+    carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_ABDACfg(theta_eq=bool(theta_eq)))
+                                cfg=_ABDACfg(theta_eq=bool(theta_eq)),
+                                between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["G"], T

@@ -128,6 +128,30 @@ def test_fast_gram_abpg_matches_generic():
         assert gb <= 1.5 * ga + 1e-12 and ga <= 1.5 * gb + 1e-12, (kw, ga, gb)
 
 
+def test_fast_gram_abpg_expo_and_abda_match_generic():
+    V, x0 = _instance(m=15, n=200, seed=4)
+    f = acc.DOptimalObj(H=jnp.asarray(V, jnp.float64))
+    h = acc.ops.h_oracles.BurgEntropySimplex()
+    Fstar = _fstar(V, x0)
+
+    r_a = acc.ABPG_expo(f, h, 1.0, x0, gamma0=3.0, maxitrs=200,
+                        verbose=False)
+    r_b = acc.ABPG_expo(f, h, 1.0, x0, gamma0=3.0, maxitrs=200,
+                        verbose=False, fast_gram=True)
+    F_a, F_b = np.asarray(r_a[1]), np.asarray(r_b[1])
+    np.testing.assert_allclose(F_b[:10], F_a[:10], rtol=0, atol=1e-11)
+    ga, gb = F_a[-1] - Fstar, F_b[-1] - Fstar
+    assert gb <= 1.5 * ga + 1e-12 and ga <= 1.5 * gb + 1e-12, (ga, gb)
+
+    r_a = acc.ABDA(f, h, 1.0, x0, gamma=2, maxitrs=200, verbose=False)
+    r_b = acc.ABDA(f, h, 1.0, x0, gamma=2, maxitrs=200, verbose=False,
+                   fast_gram=True)
+    F_a, F_b = np.asarray(r_a[1]), np.asarray(r_b[1])
+    np.testing.assert_allclose(F_b[:10], F_a[:10], rtol=0, atol=1e-11)
+    # ABDA has no line search at all — trajectories stay together
+    np.testing.assert_allclose(F_b, F_a, rtol=1e-6)
+
+
 def test_fast_gram_rejects_plain_oracles():
     rng = np.random.default_rng(0)
     A = np.abs(rng.standard_normal((50, 20))) + 0.1
