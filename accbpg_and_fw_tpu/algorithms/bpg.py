@@ -732,11 +732,15 @@ def _dopt_state_refresh(f, with_z=True):
     past one chunk (~1e-16/step worst-case drift)."""
 
     def refresh(carry, k_next):
-        Gx = f.gram(carry["x"])
-        out = {**carry, "Gx": Gx, "fx": -f.logdet_full(Gx),
-               "Minv": _fg.schulz(f.inv_seed(Gx), Gx)}
+        # colocate the oracle with the carry: the driver may have routed
+        # execution to another device (auto-CPU fallback / solver_device)
+        dev = next(iter(carry["x"].devices()))
+        fl = jax.device_put(f, dev)
+        Gx = fl.gram(carry["x"])
+        out = {**carry, "Gx": Gx, "fx": -fl.logdet_full(Gx),
+               "Minv": _fg.schulz(fl.inv_seed(Gx), Gx)}
         if with_z:
-            out["Gz"] = f.gram(carry["z"])
+            out["Gz"] = fl.gram(carry["z"])
         return out
 
     return refresh
