@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import fastgram as _fg
 from .driver import run_driver
 from .theta import solve_theta
 
@@ -98,14 +99,12 @@ def _bpg_dopt_step(cfg, prob, c, k):
     Gram plus a trace-series log-det instead of a full oracle value.
     See ``fastgram`` for the machinery and accuracy gates.
     """
-    from . import fastgram as fg
-
     f, h = prob["f"], prob["h"]
     x, Lk = c["x"], c["L"]
     Gx, M_1 = c["Gx"], c["Minv"]
     fx = c["fx"]
     ld_x = -fx
-    M = fg.inv_at(f, Gx, M_1)
+    M = _fg.inv_at(f, Gx, M_1)
     g = f.grad_from_inv(M)
     Fk = fx + h.extra_psi(x)
     stop = (k > 0) & (jnp.abs(Fk - c["F_prev"]) < prob["eps"])
@@ -113,7 +112,7 @@ def _bpg_dopt_step(cfg, prob, c, k):
     def trial(Lt):
         x1 = h.div_prox_map(x, g, Lt)
         G1 = f.gram(x1)
-        ld1 = fg.anchored_logdet(f, ld_x, 1.0, M, G1, G1)
+        ld1 = _fg.anchored_logdet(f, ld_x, 1.0, M, G1, G1)
         f1 = -ld1
         fail = ~(f1 <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
         return x1, G1, f1, fail
@@ -205,17 +204,29 @@ def _abpg_theta(cfg, prob, c):
     return gam / (kk.astype(dt) + gam)
 
 
-def _abpg_restart(cfg, c, k, Fk, g, x_new, z_new, theta, kk):
+def _abpg_restart(cfg, c, k, Fk, g, x_new, z_new, theta, kk,
+                  Gx_new=None, Gz_new=None, k_guard=True):
+    """Function ('f') / gradient ('g') restart shared by the ABPG family.
+
+    ``k_guard`` replicates plain ABPG's explicit k>0 gate; the gain/expo
+    steps rely on F_prev starting at +inf instead.  When carried Grams are
+    supplied (fast_gram steps), a restart rewrites Gz alongside z.
+    """
     dt = x_new.dtype
+    has_gram = Gz_new is not None
     if not cfg.restart:
-        return theta, kk, z_new
+        return (theta, kk, z_new, Gz_new) if has_gram else (theta, kk, z_new)
     if cfg.restart_rule == 'f':
-        trig = (k > 0) & (Fk > c["F_prev"])
+        trig = Fk > c["F_prev"]
     else:
-        trig = (k > 0) & (jnp.vdot(g, x_new - c["x"]) > 0)
+        trig = jnp.vdot(g, x_new - c["x"]) > 0
+    if k_guard:
+        trig = (k > 0) & trig
     theta = jnp.where(trig, jnp.asarray(1.0, dt), theta)
     kk = jnp.where(trig, 0, kk)
     z_new = _tree_where(trig, x_new, z_new)
+    if has_gram:
+        return theta, kk, z_new, _tree_where(trig, Gx_new, Gz_new)
     return theta, kk, z_new
 
 
@@ -247,8 +258,6 @@ def _abpg_dopt_step(cfg, prob, c, k):
     inverse of the combined Gram at y, and the F history advances through
     two trace-series log-det shifts anchored at the carried logdet(G(x)).
     """
-    from . import fastgram as fg
-
     f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
     x, z, kk = c["x"], c["z"], c["kk"]
     Gx, Gz, M_1 = c["Gx"], c["Gz"], c["Minv"]
@@ -259,30 +268,21 @@ def _abpg_dopt_step(cfg, prob, c, k):
     theta = _abpg_theta(cfg, prob, c)
     y = (1.0 - theta) * x + theta * z
     Gy = (1.0 - theta) * Gx + theta * Gz
-    M = fg.inv_at(f, Gy, M_1)
+    M = _fg.inv_at(f, Gy, M_1)
     g = f.grad_from_inv(M)
     z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
     x_new = (1.0 - theta) * x + theta * z_new
     Gz_new = f.gram(z_new)
     Gx_new = (1.0 - theta) * Gx + theta * Gz_new
-    ld_y = fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
-    ld_xn = fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+    ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
+    ld_xn = _fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
 
     dxy, dzz = _div_pair(h, x_new, y, z_new, z)
     Gdr = dxy / dzz / theta**gam
 
-    kk = kk + 1
-    theta_c = theta
-    if cfg.restart:
-        dt = x.dtype
-        if cfg.restart_rule == 'f':
-            trig = (k > 0) & (Fk > c["F_prev"])
-        else:
-            trig = (k > 0) & (jnp.vdot(g, x_new - x) > 0)
-        theta_c = jnp.where(trig, jnp.asarray(1.0, dt), theta)
-        kk = jnp.where(trig, 0, kk)
-        z_new = _tree_where(trig, x_new, z_new)
-        Gz_new = _tree_where(trig, Gx_new, Gz_new)
+    theta_c, kk, z_new, Gz_new = _abpg_restart(
+        cfg, c, k, Fk, g, x_new, z_new, theta, kk + 1,
+        Gx_new=Gx_new, Gz_new=Gz_new)
     stop = dzz < prob["eps"]
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
               F_prev=Fk, Gx=Gx_new, Gz=Gz_new, Minv=M, fx=-ld_xn)
@@ -412,8 +412,6 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
     the per-iteration gradient comes from the combined-Gram Schulz inverse
     and each gamma-adaption trial pays one fresh Gram + series logdets
     (see fastgram)."""
-    from . import fastgram as fg
-
     f, h, L = prob["f"], prob["h"], prob["L"]
     delta, Gmargin = prob["delta"], prob["Gmargin"]
     x, z, kk, gamma = c["x"], c["z"], c["kk"], c["gamma"]
@@ -431,8 +429,8 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
 
     y = (1.0 - theta) * x + theta * z
     Gy = (1.0 - theta) * Gx + theta * Gz
-    M = fg.inv_at(f, Gy, M_1)
-    ld_y = fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
+    M = _fg.inv_at(f, Gy, M_1)
+    ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
     fy = -ld_y
     g = f.grad_from_inv(M)
 
@@ -441,7 +439,7 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
         x_new = (1.0 - theta) * x + theta * z_new
         Gz_new = f.gram(z_new)
         Gx_new = (1.0 - theta) * Gx + theta * Gz_new
-        ld_xn = fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+        ld_xn = _fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
         fxn = -ld_xn
         dxy, dzz = _div_pair(h, x_new, y, z_new, z)
         Gdr = dxy / dzz / theta**gm
@@ -462,17 +460,9 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
     Gz_new, Gx_new = s["Gz"], s["Gx"]
     dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
 
-    kk = kk + 1
-    theta_c = theta
-    if cfg.restart:
-        if cfg.restart_rule == 'f':
-            trig = Fk > c["F_prev"]
-        else:
-            trig = jnp.vdot(g, x_new - x) > 0
-        theta_c = jnp.where(trig, one, theta)
-        kk = jnp.where(trig, 0, kk)
-        z_new = _tree_where(trig, x_new, z_new)
-        Gz_new = _tree_where(trig, Gx_new, Gz_new)
+    theta_c, kk, z_new, Gz_new = _abpg_restart(
+        cfg, c, k, Fk, g, x_new, z_new, theta, kk + 1,
+        Gx_new=Gx_new, Gz_new=Gz_new, k_guard=False)
 
     stop = dzz < prob["eps"]
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
@@ -621,8 +611,6 @@ def _abpg_gain_step(cfg, prob, c, k):
 # in algorithms/fastgram.py
 # ---------------------------------------------------------------------------
 
-from . import fastgram as _fg
-
 
 def _abpg_gain_dopt_step(cfg, prob, c, k):
     """ABPG_gain specialized to linear-Gram D-opt oracles (fast_gram=True).
@@ -706,17 +694,9 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
     sumlogG = c["sumlogG"] + jnp.log(G)
     Gavg = jnp.exp(sumlogG / (gam + k.astype(dt)))
 
-    kk = kk + 1
-    theta_c = theta
-    if cfg.restart:
-        if cfg.restart_rule == 'f':
-            trig = Fk > c["F_prev"]
-        else:
-            trig = jnp.vdot(g, x_new - x) > 0
-        theta_c = jnp.where(trig, one, theta)
-        kk = jnp.where(trig, 0, kk)
-        z_new = _tree_where(trig, x_new, z_new)
-        Gz_new = _tree_where(trig, Gx_new, Gz_new)
+    theta_c, kk, z_new, Gz_new = _abpg_restart(
+        cfg, c, k, Fk, g, x_new, z_new, theta, kk + 1,
+        Gx_new=Gx_new, Gz_new=Gz_new, k_guard=False)
 
     stop = dzz < eps
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
@@ -853,8 +833,6 @@ def _abda_dopt_step(cfg, prob, c, k):
     """ABDA specialized to linear-Gram D-opt oracles (fast_gram=True):
     gradient from the combined-Gram Schulz inverse; F history through
     anchored trace-series logdet shifts (see fastgram)."""
-    from . import fastgram as fg
-
     f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
     x, z, kk = c["x"], c["z"], c["kk"]
     Gx, Gz, M_1 = c["Gx"], c["Gz"], c["Minv"]
@@ -871,7 +849,7 @@ def _abda_dopt_step(cfg, prob, c, k):
 
     y = (1.0 - theta) * x + theta * z
     Gy = (1.0 - theta) * Gx + theta * Gz
-    M = fg.inv_at(f, Gy, M_1)
+    M = _fg.inv_at(f, Gy, M_1)
     g = f.grad_from_inv(M)
     w = theta ** (1.0 - gam)
     gavg = c["gavg"] + w * g
@@ -880,8 +858,8 @@ def _abda_dopt_step(cfg, prob, c, k):
     x_new = (1.0 - theta) * x + theta * z_new
     Gz_new = f.gram(z_new)
     Gx_new = (1.0 - theta) * Gx + theta * Gz_new
-    ld_y = fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
-    ld_xn = fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+    ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
+    ld_xn = _fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
 
     dxy, dzz = _div_pair(h, x_new, y, z_new, z)
     Gdr = dxy / dzz / theta**gam

@@ -385,7 +385,10 @@ def _load_checkpoint(path, carry_proto, fp):
         if saved_keys != sorted(carry_proto.keys()):
             raise ValueError(
                 f"checkpoint {path!r} carry keys {saved_keys} do not match "
-                f"this solver's state {sorted(carry_proto.keys())}")
+                f"this solver's state {sorted(carry_proto.keys())} — the "
+                "solver's carry format changed (library upgrade or a "
+                "different fast_gram/option set); delete the file to "
+                "restart the run from iteration 0")
         k_next = int(z["__k_next"])
         t_spent = float(z["__t"])
         carry = {}
@@ -536,15 +539,20 @@ def run_driver(
                     print_row(k, row, t_a + (t_b - t_a) * j / chunk)
 
         k_next += nv
-        if checkpoint is not None:
-            _save_checkpoint(checkpoint, carry, blocks, k_next,
-                             time.time() - t0, fp)
-        if bool(jax.device_get(carry["done"])):
-            break
-        if between_chunks is not None and k_next < maxitrs:
+        done = bool(jax.device_get(carry["done"]))
+        # apply the between-chunks hook BEFORE saving, so a checkpoint
+        # always holds exactly the carry the next chunk will consume and
+        # resume replays the uninterrupted trajectory bitwise (a save
+        # followed by a post-save refresh would skip the refresh on resume)
+        if between_chunks is not None and not done and k_next < maxitrs:
             carry = between_chunks(carry, k_next)
             if exec_dev is not None:
                 carry = jax.device_put(carry, exec_dev)
+        if checkpoint is not None:
+            _save_checkpoint(checkpoint, carry, blocks, k_next,
+                             time.time() - t0, fp)
+        if done:
+            break
 
     # concatenate + truncate with the reference's inclusive-stop semantics
     full = {

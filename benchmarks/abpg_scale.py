@@ -288,14 +288,16 @@ def run_f64():
     H64 = np.asarray(f.H, np.float64)
     f64 = acc.DOptimalObj(H=jnp.asarray(H64))
     x064 = jnp.asarray(np.asarray(x0, np.float64))
+    fmx = acc.DOptimalObjMixed.from_design(H64)
     bench("f64_dopt_30x1000_bpg_ls_autocpu", lambda: acc.BPG(
         f64, h, L, x064, maxitrs=9000, linesearch=True, verbose=False))
-    fmx_b = acc.DOptimalObjMixed.from_design(H64)
     bench("f64_dopt_30x1000_bpg_ls_mixed_tpu", lambda: acc.BPG(
-        fmx_b, h, L, x064, maxitrs=9000, linesearch=True, verbose=False))
+        fmx, h, L, x064, maxitrs=9000, linesearch=True, verbose=False))
+    bench("f64_dopt_30x1000_bpg_ls_mixed_fastgram", lambda: acc.BPG(
+        fmx, h, L, x064, maxitrs=9000, linesearch=True, verbose=False,
+        fast_gram=True))
     bench("f64_dopt_30x1000_abpg_gain_autocpu", lambda: acc.ABPG_gain(
         f64, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
-    fmx = acc.DOptimalObjMixed.from_design(H64)
     bench("f64_dopt_30x1000_abpg_gain_mixed_tpu", lambda: acc.ABPG_gain(
         fmx, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
     bench("f64_dopt_30x1000_abpg_gain_mixed_fastgram", lambda: acc.ABPG_gain(
