@@ -492,8 +492,12 @@ def run_driver(
     if problem is not None:
         exe = _get_compiled_chunk(step, cfg, chunk, problem, carry)
 
-        def compiled(c, k0):
-            return exe(problem, c, k0, jnp.int32(maxitrs))
+        def compiled(c, k0, limit):
+            # limit (<= maxitrs) realigns a resumed run to the original
+            # chunk grid: iterations past it freeze, so between_chunks
+            # hooks fire at the same absolute k regardless of where a
+            # checkpoint interrupted the run (exact-resume guarantee).
+            return exe(problem, c, k0, jnp.int32(limit))
     else:
         wrapped = _wrap_step(step)
 
@@ -501,8 +505,11 @@ def run_driver(
             ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
             return lax.scan(wrapped, c, ks)
 
-        compiled = (jax.jit(run_chunk)
-                    .lower(carry, jnp.int32(0)).compile())
+        _exe = (jax.jit(run_chunk)
+                .lower(carry, jnp.int32(0)).compile())
+
+        def compiled(c, k0, limit):  # closure path has no budget masking
+            return _exe(c, k0)
 
     if verbose and header:
         print(header)
@@ -524,7 +531,8 @@ def run_driver(
     t0 = time.time() - t_spent
     while k_next < maxitrs and not bool(jax.device_get(carry["done"])):
         t_a = time.time() - t0
-        carry, hist = compiled(carry, jnp.int32(k_next))
+        limit = min(maxitrs, (k_next // chunk + 1) * chunk)
+        carry, hist = compiled(carry, jnp.int32(k_next), limit)
         hist = jax.device_get(jax.block_until_ready(hist))
         t_b = time.time() - t0
         nv = int(hist["_valid"].sum())

@@ -159,6 +159,28 @@ def test_fast_gram_abpg_expo_and_abda_match_generic():
     np.testing.assert_allclose(F_b, F_a, rtol=1e-6)
 
 
+def test_fast_gram_checkpoint_resume_bitwise(tmp_path):
+    """The between-chunks Gram refresh must not break exact resume: the
+    driver saves the POST-refresh carry, so an interrupted fast_gram run
+    resumed from its checkpoint replays the uninterrupted trajectory
+    bitwise."""
+    V, x0 = _instance(m=12, n=150, seed=11)
+    f = acc.DOptimalObj(H=jnp.asarray(V, jnp.float64))
+    h = acc.ops.h_oracles.BurgEntropySimplex()
+    ck = str(tmp_path / "fg.npz")
+    r_full = acc.ABPG_gain(f, h, 1.0, x0, gamma=2, maxitrs=200,
+                           verbose=False, fast_gram=True, chunk=32)
+    acc.ABPG_gain(f, h, 1.0, x0, gamma=2, maxitrs=100, verbose=False,
+                  fast_gram=True, chunk=32, checkpoint=ck)
+    r_res = acc.ABPG_gain(f, h, 1.0, x0, gamma=2, maxitrs=200,
+                          verbose=False, fast_gram=True, chunk=32,
+                          checkpoint=ck)
+    np.testing.assert_array_equal(np.asarray(r_res[1]),
+                                  np.asarray(r_full[1]))
+    np.testing.assert_array_equal(np.asarray(r_res[0]),
+                                  np.asarray(r_full[0]))
+
+
 def test_fast_gram_rejects_plain_oracles():
     rng = np.random.default_rng(0)
     A = np.abs(rng.standard_normal((50, 20))) + 0.1
