@@ -107,9 +107,16 @@ class DOptimalObjMixed(SmoothOracle):
       elementwise (O(mn), bandwidth not FLOPs).
     * log-det: f64 Cholesky diagonal (m logs).
 
-    Gradient accuracy ~1e-12 relative (tests).  Drop-in for every driver
-    that takes a ``DOptimalObj`` (same pytree-oracle duck type).  Requires
-    ``jax_enable_x64`` like any f64-parity run.
+    Gradient accuracy ~1e-12 relative (tests) while the Jacobi-equilibrated
+    Gram stays within the f32 factorization's accuracy gate
+    (cond(Gs) <~ 1e3); beyond it a small-operand ``lax.cond`` takes one
+    exact f64 factorization per evaluation (sequential/slow on TPU, but
+    finite and correct — no NaN at cond ~1e8, with accuracy then limited
+    by condition-number amplification of the int8 Gram's ~1e-13 error;
+    ``tests/test_mixed_oracle.py::test_ill_conditioned_gram_graceful``).
+    Drop-in for every driver that takes a ``DOptimalObj`` (same
+    pytree-oracle duck type).  Requires ``jax_enable_x64`` like any
+    f64-parity run.
 
     Reference semantics: functions.py:27-82; the workload this accelerates
     is the notebook's ABPG-gain 30x10000 headline
@@ -161,28 +168,63 @@ class DOptimalObjMixed(SmoothOracle):
         return mp.ozaki_gram(self.Vd_rows, self.sV_rows, dW,
                              sW.astype(jnp.float64), max_diag=self.max_diag)
 
-    def _chol32_logdet(self, G):
-        """f32 Cholesky + mixed-precision log-det correction.
+    # Accuracy gate for the 2-term logdet correction and the 2-step Schulz
+    # refinement: both need the f32 factorization residual ||E||_F below
+    # ~1e-4 (truncation m*||E||^3/3 and squared seed error then land under
+    # 1e-12).  ||E|| ~ eps_f32 * cond(equilibrated Gram), so the fast path
+    # covers cond(Gs) up to ~1e3; beyond it (or on an outright f32
+    # Cholesky failure) a small-operand lax.cond takes one exact f64
+    # factorization — sequential and slow on TPU, but only for genuinely
+    # ill-conditioned iterates.
+    _E_GATE2 = 1e-8  # squared Frobenius threshold (||E||_F <= 1e-4)
 
-        A true-f64 Cholesky on TPU is a SEQUENTIAL emulated-f64 algorithm
-        (measured ~9 ms/iteration dominating the whole oracle); the native
-        f32 factorization plus the exact identity
+    def _equilibrated(self, G):
+        """Jacobi scaling Gs = D^-1/2 G D^-1/2 (unit diagonal): removes
+        the design's row-scaling contribution to the condition number
+        before the f32 factorization; logdet(G) = logdet(Gs) + sum log d."""
+        d = jnp.sqrt(jnp.diagonal(G))
+        Gs = (G / d[:, None]) / d[None, :]
+        return Gs, d
 
-            logdet(G) = 2 sum log diag(R) + logdet(R^-1 G R^-T)
+    def _chol32_core(self, Gs):
+        """(logdet(Gs), M0 ~= Gs^{-1} seed) with the exact-f64 fallback.
 
-        recovers f64-grade accuracy: E = R^-1 (G - R R^T) R^-T is ~1e-7
-        small, so logdet(I+E) = tr(E) - tr(E^2)/2 + O(1e-21), and the
-        residual G - R64 R64^T is computed in f64 where it is exact."""
-        R = jnp.linalg.cholesky(G.astype(jnp.float32))
+        Fast path: native f32 Cholesky + the exact identity
+        logdet(Gs) = 2 sum log diag(R) + logdet(R^-1 Gs R^-T), whose
+        correction factor is I + E with E ~ eps_f32 * cond small; 2-term
+        trace series; the inverse seed is the f32 triangular solve
+        (<= ~1e-4 wrong under the gate, for the caller's Schulz polish).
+        Slow path (gate failed / f32 NaN): ONE true f64 Cholesky — a
+        sequential emulated algorithm on TPU (~ms at m=30), acceptable as
+        a rare escape hatch, never in the common case."""
+        eye32 = jnp.eye(Gs.shape[0], dtype=jnp.float32)
+        R = jnp.linalg.cholesky(Gs.astype(jnp.float32))
         R64 = R.astype(jnp.float64)
-        delta = (G - R64 @ R64.T).astype(jnp.float32)
+        delta = (Gs - R64 @ R64.T).astype(jnp.float32)
         Y = solve_triangular(R, delta, lower=True)          # R^-1 D
         E = solve_triangular(R, Y.T, lower=True).T          # R^-1 D R^-T
-        trE = jnp.trace(E).astype(jnp.float64)
-        trE2 = jnp.trace(E @ E).astype(jnp.float64)
-        logdet = (2.0 * jnp.sum(jnp.log(jnp.diagonal(R64)))
+        En2 = jnp.sum(E.astype(jnp.float64) ** 2)
+        ok = jnp.isfinite(En2) & (En2 <= self._E_GATE2)
+
+        def fast():
+            trE = jnp.trace(E).astype(jnp.float64)
+            trE2 = jnp.trace(E @ E).astype(jnp.float64)
+            ld = (2.0 * jnp.sum(jnp.log(jnp.diagonal(R64)))
                   + trE - 0.5 * trE2)
-        return R, logdet
+            return ld, cho_solve((R, True), eye32).astype(jnp.float64)
+
+        def exact():
+            R64f = jnp.linalg.cholesky(Gs)
+            ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(R64f)))
+            eye64 = jnp.eye(Gs.shape[0], dtype=Gs.dtype)
+            return ld, cho_solve((R64f, True), eye64)
+
+        return jax.lax.cond(ok, fast, exact)
+
+    def _chol32_logdet(self, G):
+        Gs, d = self._equilibrated(G)
+        ld_s, _ = self._chol32_core(Gs)
+        return None, ld_s + 2.0 * jnp.sum(jnp.log(d))
 
     def value(self, x, key=None):
         _, logdet = self._chol32_logdet(self._gram(x))
@@ -192,16 +234,17 @@ class DOptimalObjMixed(SmoothOracle):
         from . import mixed_precision as mp
 
         G = self._gram(x)
-        R, logdet = self._chol32_logdet(G)
-        f = -logdet
-        # inverse: f32 Cholesky seed + two f64 Schulz refinement steps
-        # (M <- 2M - M G M squares the ~1e-4 scaled seed error to ~1e-13;
-        # each step is two PARALLEL m x m f64 matmuls, not a sequential
-        # factorization)
-        eye = jnp.eye(self.m, dtype=jnp.float32)
-        M = cho_solve((R, True), eye).astype(jnp.float64)
+        Gs, d = self._equilibrated(G)
+        ld_s, M = self._chol32_core(Gs)
+        f = -(ld_s + 2.0 * jnp.sum(jnp.log(d)))
+        # Schulz refinement of the inverse seed (M <- 2M - M Gs M squares
+        # the seed error: <= ~1e-4 under the gate -> ~1e-16 in two steps;
+        # the exact branch's seed is f64-grade already).  Each step is two
+        # PARALLEL m x m f64 matmuls, not a sequential factorization.
         for _ in range(2):
-            M = 2.0 * M - M @ (G @ M)
+            M = 2.0 * M - M @ (Gs @ M)
+        # un-equilibrate: G^{-1} = D^-1/2 Gs^{-1} D^-1/2
+        M = (M / d[:, None]) / d[None, :]
         MV = mp.ozaki_mm(M, self.V_packed, self.sV_cols, self.levels,
                          levels_m=self.levels, max_diag=self.max_diag)
         g = -jnp.sum(self.H * MV, axis=0)
@@ -217,11 +260,13 @@ class DOptimalObjMixed(SmoothOracle):
         return self._chol32_logdet(G)[1]
 
     def inv_seed(self, G):
-        """f32-Cholesky inverse seed (relative error ~1e-7 * cond) for the
-        caller's Schulz polish — no emulated-f64 factorization."""
-        R = jnp.linalg.cholesky(G.astype(jnp.float32))
-        eye = jnp.eye(self.m, dtype=jnp.float32)
-        return cho_solve((R, True), eye).astype(jnp.float64)
+        """Inverse seed for the caller's Schulz polish: equilibrated f32
+        Cholesky solve in the common case (error <= ~1e-4 under the
+        ||E|| gate), the exact-f64 branch when the Gram is too
+        ill-conditioned for f32 (see ``_chol32_core``)."""
+        Gs, d = self._equilibrated(G)
+        _, M = self._chol32_core(Gs)
+        return (M / d[:, None]) / d[None, :]
 
     def grad_from_inv(self, M):
         from . import mixed_precision as mp

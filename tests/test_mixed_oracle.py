@@ -107,6 +107,33 @@ class TestRegressionMixed:
                                    rtol=1e-5)
 
 
+def test_ill_conditioned_gram_graceful():
+    """cond(Gram) ~ 2.5e8 exceeds what an f32 Cholesky can factor: the
+    ||E|| gate must route to the exact-f64 branch instead of emitting NaN
+    (observed pre-fix), and the driver trajectories must stay finite.
+    Accuracy degrades gracefully (the int8 Gram's own error is amplified
+    by the condition number) — assert sane bounds, not f64 grade."""
+    rng = np.random.default_rng(0)
+    m, n = 20, 300
+    base = rng.standard_normal((m, 5))
+    V = base @ rng.standard_normal((5, n)) + 1e-3 * rng.standard_normal((m, n))
+    V *= 10.0 ** rng.uniform(-2, 2, size=(1, n))
+    x0 = jnp.full(n, 1.0 / n, jnp.float64)
+    f64 = acc.DOptimalObj(H=jnp.asarray(V, jnp.float64))
+    fmx = acc.DOptimalObjMixed.from_design(V)
+    v0, g0 = map(np.asarray, f64.value_and_grad(x0))
+    v1, g1 = map(np.asarray, fmx.value_and_grad(x0))
+    assert abs(v1 - v0) <= 1e-6 * abs(v0)
+    assert np.abs(g1 - g0).max() <= 1e-4 * np.abs(g0).max()
+    h = acc.ops.h_oracles.BurgEntropySimplex()
+    for fg in (False, True):
+        r = acc.ABPG_gain(fmx, h, 1.0, x0, gamma=2, maxitrs=150,
+                          verbose=False, fast_gram=fg)
+        F = np.asarray(r[1])
+        assert np.isfinite(F).all(), fg
+        assert F[-1] <= F[0], fg
+
+
 def test_factory_mixed_oracle():
     f, h, L, x0 = acc.D_opt_design(15, 200, randseed=4, oracle="mixed")
     assert isinstance(f, acc.DOptimalObjMixed)
