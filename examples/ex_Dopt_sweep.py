@@ -66,6 +66,105 @@ def start(m=30, n_list=(200, 400, 800), K=4, eps=1e-4, num_iters=4000,
     return results
 
 
+def start_full(m=20, n_list=(100, 200, 300), K=3, eps_list=(1e-3, 1e-4),
+               num_iters=3000, seed=0, verbose=True, plot=False,
+               fast_gram=True):
+    """Four-method sweep mirroring the reference figure studies exactly
+    (ipynb/ABPGvsFW/ex_Dopt_FW_m80.ipynb cells 3+5): FW and FW-away from
+    the Kumar-Yildirim init, BPG-LS (ls_ratio 1.5) and ABPG-gain
+    (ls_inc/dec 1.5, restart) from uniform x0; iterations AND wall time to
+    objective gap F - Fmin <= eps (Fmin = best across methods per
+    instance), geometric means over K seeded repeats.
+
+    Reference scale is m=80, n up to 1000, K=10, Nmax=100000; defaults
+    here are a runnable reduction — pass the full values to reproduce the
+    paper figure.  ``fast_gram`` routes the BPG/ABPG runs through the
+    linear-Gram stateful steps (f64-grade convergence at f32-era cost).
+
+    The study needs f64 like the reference (at f32 the BPG family
+    plateaus above the tight gap targets); x64 is enabled here.
+    """
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    labels = ["FW", "FW-away", "BPG-LS", "ABPG-g"]
+    iters = {lab: {e: np.zeros((len(n_list), K)) for e in eps_list}
+             for lab in labels}
+    times = {lab: {e: np.zeros((len(n_list), K)) for e in eps_list}
+             for lab in labels}
+
+    for i, n in enumerate(n_list):
+        for k in range(K):
+            f, h, L, x0 = acc.D_opt_design(m, n,
+                                           randseed=int(rng.integers(1 << 30)))
+            V = np.asarray(f.H, np.float64)
+            x0KY = jnp.asarray(acc.D_opt_KYinit(V), x0.dtype)
+            Vd = jnp.asarray(V, x0.dtype)
+            runs = {}
+            _, F1, _, _, T1 = acc.D_opt_FW(Vd, x0KY, 1e-8,
+                                           maxitrs=num_iters, verbose=False)
+            runs["FW"] = (np.asarray(F1, float), np.asarray(T1))
+            _, F2, _, _, T2 = acc.D_opt_FW_away(Vd, x0KY, 1e-8,
+                                                maxitrs=num_iters,
+                                                verbose=False)
+            runs["FW-away"] = (np.asarray(F2, float), np.asarray(T2))
+            fg = fast_gram and hasattr(f, "gram")
+            _, F3, _, T3 = acc.BPG(f, h, L, x0, maxitrs=num_iters,
+                                   linesearch=True, ls_ratio=1.5,
+                                   verbose=False, fast_gram=fg)
+            runs["BPG-LS"] = (np.asarray(F3, float), np.asarray(T3))
+            _, F4, _, _, _, T4 = acc.ABPG_gain(f, h, L, x0, gamma=2,
+                                               maxitrs=num_iters,
+                                               ls_inc=1.5, ls_dec=1.5,
+                                               restart=True, verbose=False,
+                                               fast_gram=fg)
+            runs["ABPG-g"] = (np.asarray(F4, float), np.asarray(T4))
+
+            Fmin = min(F.min() for F, _ in runs.values())
+            for lab, (F, T) in runs.items():
+                for e in eps_list:
+                    hit = np.nonzero(F - Fmin <= e)[0]
+                    if len(hit):
+                        iters[lab][e][i, k] = hit[0]
+                        times[lab][e][i, k] = T[hit[0]]
+                    else:
+                        iters[lab][e][i, k] = num_iters + 1
+                        times[lab][e][i, k] = T[-1]
+        if verbose:
+            e = eps_list[-1]
+            row = "  ".join(
+                f"{lab}={np.exp(np.mean(np.log(np.maximum(iters[lab][e][i], 1)))):.0f}"
+                for lab in labels)
+            print(f"m={m} n={n} eps={e:g} iters(geomean): {row}")
+
+    if plot:
+        from _galleryutil import get_axes, save_fig
+
+        e = eps_list[-1]
+        fig, axes = get_axes(1, 2)
+        ns = np.asarray(n_list)
+        styles = {"FW": "g-", "FW-away": "k-.", "BPG-LS": "b:",
+                  "ABPG-g": "r--"}
+        for lab in labels:
+            gm_i = np.exp(np.mean(np.log(np.maximum(iters[lab][e], 1)),
+                                  axis=1))
+            gm_t = np.exp(np.mean(np.log(np.maximum(times[lab][e], 1e-9)),
+                                  axis=1))
+            axes[0].loglog(ns, gm_i, styles[lab], marker="o", label=lab)
+            axes[1].loglog(ns, gm_t, styles[lab], marker="o", label=lab)
+        axes[0].set_xlabel("$n$")
+        axes[0].set_ylabel(rf"iterations to $F - F^\star \leq$ {e:g}")
+        axes[1].set_xlabel("$n$")
+        axes[1].set_ylabel("wall time [s] (geomean)")
+        for ax in axes:
+            ax.legend()
+        fig.suptitle(f"D-opt methods, m={m}, K={K} repeats")
+        save_fig(fig, f"dopt_sweep_methods_m{m}.png")
+    return iters, times
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -77,6 +176,14 @@ if __name__ == "__main__":
                    default=(1e-3, 1e-4))
     p.add_argument("--num-iters", type=int, default=4000)
     p.add_argument("--plot", action="store_true")
+    p.add_argument("--full", action="store_true",
+                   help="four-method sweep (FW / FW-away / BPG-LS / "
+                        "ABPG-g), the reference figure's exact design")
     a = p.parse_args()
-    start(m=a.m, n_list=tuple(a.n_list), K=a.K, eps_list=a.eps_list,
-          num_iters=a.num_iters, plot=a.plot)
+    if a.full:
+        start_full(m=a.m, n_list=tuple(a.n_list), K=a.K,
+                   eps_list=tuple(a.eps_list), num_iters=a.num_iters,
+                   plot=a.plot)
+    else:
+        start(m=a.m, n_list=tuple(a.n_list), K=a.K, eps_list=a.eps_list,
+              num_iters=a.num_iters, plot=a.plot)

@@ -64,6 +64,21 @@ def test_dopt_sweep_example():
         assert r["geomean"] > 0
 
 
+def test_dopt_sweep_full_example():
+    import numpy as np
+
+    import ex_Dopt_sweep
+
+    iters, times = ex_Dopt_sweep.start_full(
+        m=8, n_list=(40,), K=2, eps_list=(1e-2,), num_iters=600,
+        verbose=False)
+    # FW-away converges well inside the budget; every method records a
+    # finite time at the coarse gap
+    assert iters["FW-away"][1e-2].max() <= 600
+    for lab in ("FW", "FW-away", "BPG-LS", "ABPG-g"):
+        assert np.isfinite(times[lab][1e-2]).all(), lab
+
+
 def test_ky_vs_kha_example(tmp_path):
     import ex_Dopt_KYvsKha
 
