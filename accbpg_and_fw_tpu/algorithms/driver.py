@@ -47,6 +47,7 @@ instead of a chunk counter.  Consequences:
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 from typing import Callable, Dict, Optional
 
 import jax
@@ -54,7 +55,28 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-_EXEC_CACHE: dict = {}
+# LRU-bounded in-process executable cache.  Each compiled XLA:CPU/TPU
+# executable keeps its JIT code pages mmapped for as long as it is
+# referenced; an unbounded cache in a long-lived process (a test suite, a
+# service) accumulates tens of thousands of 3-mapping code objects and can
+# exhaust vm.max_map_count (default 65530) — observed as SIGSEGV/SIGABRT
+# inside later backend compiles at ~60k mappings.  Evicted entries
+# recompile or reload from the on-disk AOT cache.
+_EXEC_CACHE: OrderedDict = OrderedDict()
+_EXEC_CACHE_CAP = 64
+
+
+def _exec_cache_put(key, exe):
+    _EXEC_CACHE[key] = exe
+    _EXEC_CACHE.move_to_end(key)
+    while len(_EXEC_CACHE) > _EXEC_CACHE_CAP:
+        _EXEC_CACHE.popitem(last=False)
+
+
+def clear_exec_cache():
+    """Drop all in-process compiled-chunk executables (frees their JIT
+    code mappings; the on-disk AOT cache is unaffected)."""
+    _EXEC_CACHE.clear()
 
 _CKPT_VERSION = 2
 
@@ -250,6 +272,7 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
     alternate cache directory."""
     key = (step, cfg, chunk, _aval_key(problem), _aval_key(carry))
     if key in _EXEC_CACHE:
+        _EXEC_CACHE.move_to_end(key)
         return _EXEC_CACHE[key]
 
     import os
@@ -261,7 +284,7 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
     if path and os.path.exists(path):
         try:
             exe = _aot_load(path)
-            _EXEC_CACHE[key] = exe
+            _exec_cache_put(key, exe)
             return exe
         except Exception as e:  # stale/corrupt/incompatible -> recompile
             if not _AOT_WARNED[0]:
@@ -290,7 +313,7 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
     exe = (jax.jit(run)
            .lower(problem, carry, jnp.int32(0), jnp.int32(1))
            .compile())
-    _EXEC_CACHE[key] = exe
+    _exec_cache_put(key, exe)
     if path:
         try:
             _aot_save(path, exe)

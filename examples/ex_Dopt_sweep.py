@@ -152,7 +152,11 @@ def start_full(m=20, n_list=(100, 200, 300), K=3, eps_list=(1e-3, 1e-4),
                                   axis=1))
             gm_t = np.exp(np.mean(np.log(np.maximum(times[lab][e], 1e-9)),
                                   axis=1))
-            axes[0].loglog(ns, gm_i, styles[lab], marker="o", label=lab)
+            # like the reference, drop points that exceeded the budget
+            conv = gm_i <= num_iters
+            if conv.any():
+                axes[0].loglog(ns[conv], gm_i[conv], styles[lab],
+                               marker="o", label=lab)
             axes[1].loglog(ns, gm_t, styles[lab], marker="o", label=lab)
         axes[0].set_xlabel("$n$")
         axes[0].set_ylabel(rf"iterations to $F - F^\star \leq$ {e:g}")

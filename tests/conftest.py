@@ -27,3 +27,46 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the reference-parity goldens FIRST.
+
+    XLA:CPU intermittently crashes (SIGSEGV/SIGABRT inside
+    backend_compile_and_load, observed 4x) when compiling an eager f64
+    while_loop after the ~2000 compilations a full-suite run accumulates —
+    always at the same TestMixedOracleGolden compile, never in a young
+    process, and jax.clear_caches() does not prevent it.  Compiling these
+    eager reference-driver loops while the process compile state is fresh
+    sidesteps the crash deterministically."""
+    early = [i for i in items if "test_reference_parity" in i.nodeid]
+    rest = [i for i in items if "test_reference_parity" not in i.nodeid]
+    items[:] = early + rest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_jit_code_mappings():
+    """Keep the process under vm.max_map_count (default 65530).
+
+    Every live compiled executable holds ~3 mmapped JIT code regions; a
+    full-suite run compiles ~2000 of them and was observed at ~60k
+    mappings, where later LLVM compiles die with SIGSEGV/SIGABRT inside
+    backend_compile_and_load (4 distinct crashes, position-dependent).
+    jax.clear_caches() measurably returns the mappings (probe: 1430 ->
+    531 maps), so drop caches at module boundaries once the count grows.
+    """
+    yield
+    import os
+
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as fh:
+            n = sum(1 for _ in fh)
+    except OSError:
+        return
+    if n > 25000:
+        import jax
+
+        from accbpg_and_fw_tpu.algorithms.driver import clear_exec_cache
+
+        clear_exec_cache()
+        jax.clear_caches()
