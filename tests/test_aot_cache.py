@@ -92,3 +92,30 @@ def test_second_tpu_process_skips_compile(tmp_path):
     assert second["F_LAST"] == first["F_LAST"]
     # the verdict's bar: first-chunk latency < 2 s in a fresh process
     assert second["SOLVE_SECONDS"] < 2.0, (first, second)
+
+
+def test_exec_cache_lru_eviction(monkeypatch):
+    """The in-process executable cache is LRU-bounded (unbounded growth
+    exhausts vm.max_map_count via live JIT code mappings); evicted
+    entries must transparently recompile with identical results."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import accbpg_and_fw_tpu as acc
+    from accbpg_and_fw_tpu.algorithms import driver
+
+    monkeypatch.setattr(driver, "_EXEC_CACHE_CAP", 2)
+    driver.clear_exec_cache()
+
+    def solve(n):
+        f, h, L, x0 = acc.D_opt_design(8, n, randseed=3)
+        x0 = jnp.asarray(np.asarray(x0, np.float64))
+        f = acc.DOptimalObj(H=jnp.asarray(np.asarray(f.H), jnp.float64))
+        r = acc.BPG(f, h, L, x0, maxitrs=60, verbose=False)
+        return float(np.asarray(r[1])[-1])
+
+    first = solve(40)
+    solve(50)
+    solve(60)  # evicts the n=40 entry
+    assert len(driver._EXEC_CACHE) <= 2
+    assert solve(40) == first  # recompiled (or disk-reloaded), same result
