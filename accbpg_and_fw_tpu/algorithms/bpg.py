@@ -44,6 +44,15 @@ def _div_pair(h, a1, b1, a2, b2):
     return d[0], d[1]
 
 
+def _warm_prox(h, c, y, g, Lt):
+    """div_prox_map with the carried multiplier warm start when the
+    h-oracle supports it (fast_gram carries hold 'cpx'); returns
+    (x, new multiplier or None)."""
+    if "cpx" in c and hasattr(h, "div_prox_map_warm"):
+        return h.div_prox_map_warm(y, g, Lt, c["cpx"])
+    return h.div_prox_map(y, g, Lt), None
+
+
 # ---------------------------------------------------------------------------
 # BPG
 # ---------------------------------------------------------------------------
@@ -110,33 +119,36 @@ def _bpg_dopt_step(cfg, prob, c, k):
     stop = (k > 0) & (jnp.abs(Fk - c["F_prev"]) < prob["eps"])
 
     def trial(Lt):
-        x1 = h.div_prox_map(x, g, Lt)
+        x1, cpx = _warm_prox(h, c, x, g, Lt)
         G1 = f.gram(x1)
         ld1 = _fg.anchored_logdet(f, ld_x, 1.0, M, G1, G1)
         f1 = -ld1
         fail = ~(f1 <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
-        return x1, G1, f1, fail
+        cpx = jnp.zeros(()) if cpx is None else cpx
+        return x1, G1, f1, cpx, fail
 
     if cfg.linesearch:
         ls_ratio = prob["ls_ratio"]
         L1 = Lk / ls_ratio
-        x1, G1, f1, fail = trial(L1)
+        x1, G1, f1, cp1, fail = trial(L1)
 
         def cond(s):
-            return s[4] & (s[5] < _LS_MAX)
+            return s[5] & (s[6] < _LS_MAX)
 
         def body(s):
             Lt = s[0] * ls_ratio
-            x1t, G1t, f1t, failt = trial(Lt)
-            return (Lt, x1t, G1t, f1t, failt, s[5] + 1)
+            x1t, G1t, f1t, cpt, failt = trial(Lt)
+            return (Lt, x1t, G1t, f1t, cpt, failt, s[6] + 1)
 
-        Lk, x_new, G_new, fx_new, _, _ = lax.while_loop(
-            cond, body, (L1, x1, G1, f1, fail, 0))
+        Lk, x_new, G_new, fx_new, cp_new, _, _ = lax.while_loop(
+            cond, body, (L1, x1, G1, f1, cp1, fail, 0))
     else:
-        x_new, G_new, fx_new, _ = trial(Lk)
+        x_new, G_new, fx_new, cp_new, _ = trial(Lk)
 
     c2 = dict(done=c["done"], x=x_new, L=Lk, F_prev=Fk,
               Gx=G_new, Minv=M, fx=fx_new)
+    if "cpx" in c:
+        c2["cpx"] = cp_new
     return c2, dict(F=Fk, Ls=Lk, _stop=stop)
 
 
@@ -167,6 +179,8 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
         st = _fg.init_state(f, x0)
         carry.update(Gx=st["G0"], Minv=st["M0"],
                      fx=jnp.asarray(-st["ld0"], dt))
+        if hasattr(h, "div_prox_map_warm"):
+            carry["cpx"] = jnp.asarray(-jnp.inf, dt)
         step = _bpg_dopt_step
         between_chunks = _dopt_state_refresh(f, with_z=False)
     header = ("\nBPG_LS method for min_{x in C} F(x) = f(x) + Psi(x)\n"
@@ -270,7 +284,7 @@ def _abpg_dopt_step(cfg, prob, c, k):
     Gy = (1.0 - theta) * Gx + theta * Gz
     M = _fg.inv_at(f, Gy, M_1)
     g = f.grad_from_inv(M)
-    z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
+    z_new, cpx = _warm_prox(h, c, z, g, theta ** (gam - 1.0) * L)
     x_new = (1.0 - theta) * x + theta * z_new
     Gz_new = f.gram(z_new)
     Gx_new = (1.0 - theta) * Gx + theta * Gz_new
@@ -286,6 +300,8 @@ def _abpg_dopt_step(cfg, prob, c, k):
     stop = dzz < prob["eps"]
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
               F_prev=Fk, Gx=Gx_new, Gz=Gz_new, Minv=M, fx=-ld_xn)
+    if "cpx" in c:
+        c2["cpx"] = cpx
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
@@ -316,6 +332,8 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
         st = _fg.init_state(f, x0)
         carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
                      fx=jnp.asarray(-st["ld0"], dt))
+        if hasattr(h, "div_prox_map_warm"):
+            carry["cpx"] = jnp.asarray(-jnp.inf, dt)
         step = _abpg_dopt_step
         between_chunks = _dopt_state_refresh(f)
     header = ("\nABPG method for minimize_{x in C} F(x) = f(x) + Psi(x)\n"
@@ -435,7 +453,7 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
     g = f.grad_from_inv(M)
 
     def attempt(gm):
-        z_new = h.div_prox_map(z, g, theta ** (gm - 1.0) * L)
+        z_new, cpx = _warm_prox(h, c, z, g, theta ** (gm - 1.0) * L)
         x_new = (1.0 - theta) * x + theta * z_new
         Gz_new = f.gram(z_new)
         Gx_new = (1.0 - theta) * Gx + theta * Gz_new
@@ -447,8 +465,11 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
             fail = ~(dxy <= Gmargin * theta**gm * dzz)
         else:
             fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
-        return dict(gamma=gm, z=z_new, x=x_new, Gz=Gz_new, Gx=Gx_new,
-                    fxn=fxn, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
+        out = dict(gamma=gm, z=z_new, x=x_new, Gz=Gz_new, Gx=Gx_new,
+                   fxn=fxn, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
+        if cpx is not None:
+            out["cpx"] = cpx
+        return out
 
     s = attempt(gamma)
     s = lax.while_loop(
@@ -468,6 +489,8 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
               gamma=gamma, F_prev=Fk, Gx=Gx_new, Gz=Gz_new, Minv=M,
               fx=s["fxn"])
+    if "cpx" in c:
+        c2["cpx"] = s["cpx"]
     return c2, dict(F=Fk, Gamma=gamma, G=Gdr, theta=theta, dxy=dxy,
                     dzz=dzz, _stop=stop)
 
@@ -500,6 +523,8 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
         st = _fg.init_state(f, x0)
         carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
                      fx=jnp.asarray(-st["ld0"], dt))
+        if hasattr(h, "div_prox_map_warm"):
+            carry["cpx"] = jnp.asarray(-jnp.inf, dt)
         step = _abpg_expo_dopt_step
         between_chunks = _dopt_state_refresh(f)
     else:
@@ -661,7 +686,7 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
         ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
         fy = -ld_y
         g = f.grad_from_inv(M)
-        z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
+        z_new, cpx = _warm_prox(h, c, z, g, theta ** (gam - 1.0) * G * L)
         x_new = (1.0 - theta) * x + theta * z_new
         Gz_new = f.gram(z_new)
         Gx_new = (1.0 - theta) * Gx + theta * Gz_new
@@ -676,9 +701,12 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
         else:
             fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
         fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
-        return dict(G=G, theta=theta, g=g, z=z_new, x=x_new,
-                    Gz=Gz_new, Gx=Gx_new, Minv=M, fxn=fxn, dxy=dxy,
-                    dzz=dzz, Gdr=Gdr, fail=fail, t=t)
+        out = dict(G=G, theta=theta, g=g, z=z_new, x=x_new,
+                   Gz=Gz_new, Gx=Gx_new, Minv=M, fxn=fxn, dxy=dxy,
+                   dzz=dzz, Gdr=Gdr, fail=fail, t=t)
+        if cpx is not None:
+            out["cpx"] = cpx
+        return out
 
     s = attempt(G_1 / ls_dec, 0)
     s = lax.while_loop(
@@ -702,6 +730,8 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
               G=G, sumlogG=sumlogG, F_prev=Fk, fx=s["fxn"],
               Gx=Gx_new, Gz=Gz_new, Minv=s["Minv"])
+    if "cpx" in c:
+        c2["cpx"] = s["cpx"]
     return c2, dict(F=Fk, Gain=G, Gdiv=Gdr, Gavg=Gavg, theta=theta,
                     dxy=dxy, dzz=dzz, _stop=stop)
 
@@ -768,6 +798,8 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
         st = _fg.init_state(f, x0)
         carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
                      fx=jnp.asarray(-st["ld0"], dt))
+        if hasattr(h, "div_prox_map_warm"):
+            carry["cpx"] = jnp.asarray(-jnp.inf, dt)
         step = _abpg_gain_dopt_step
         between_chunks = _dopt_state_refresh(f)
     else:
@@ -854,7 +886,10 @@ def _abda_dopt_step(cfg, prob, c, k):
     w = theta ** (1.0 - gam)
     gavg = c["gavg"] + w * g
     csum = c["csum"] + w
-    z_new = h.prox_map(gavg / csum, L / csum)
+    if "cpx" in c and hasattr(h, "prox_map_warm"):
+        z_new, cpx = h.prox_map_warm(gavg / csum, L / csum, c["cpx"])
+    else:
+        z_new, cpx = h.prox_map(gavg / csum, L / csum), None
     x_new = (1.0 - theta) * x + theta * z_new
     Gz_new = f.gram(z_new)
     Gx_new = (1.0 - theta) * Gx + theta * Gz_new
@@ -868,6 +903,8 @@ def _abda_dopt_step(cfg, prob, c, k):
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta, kk=kk + 1,
               gavg=gavg, csum=csum, F_prev=Fk,
               Gx=Gx_new, Gz=Gz_new, Minv=M, fx=-ld_xn)
+    if "cpx" in c:
+        c2["cpx"] = cpx
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
@@ -897,6 +934,8 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
         st = _fg.init_state(f, x0)
         carry.update(Gx=st["G0"], Gz=st["G0"], Minv=st["M0"],
                      fx=jnp.asarray(-st["ld0"], dt))
+        if hasattr(h, "prox_map_warm"):
+            carry["cpx"] = jnp.asarray(-jnp.inf, dt)
         step = _abda_dopt_step
         between_chunks = _dopt_state_refresh(f)
     header = ("\nABDA method for min_{x in C} F(x) = f(x) + Psi(x)\n"

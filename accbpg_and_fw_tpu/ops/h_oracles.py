@@ -129,6 +129,21 @@ class BurgEntropySimplex(BurgEntropy):
             c = simplex_inv_multiplier(gg, self.eps)
         return 1.0 / (gg + c)
 
+    # -- warm-started variants for stateful drivers (fast_gram steps):
+    #    the multiplier changes slowly across iterations, so carrying it
+    #    saves most of the Newton passes (each one a sequential
+    #    full-vector reduction).  Any carried value is safe: certified
+    #    from-below starts win a max, out-of-domain/stale carries are
+    #    discarded (see roots.simplex_inv_multiplier). --
+
+    def prox_map_warm(self, g, L, c_prev):
+        gg = g / L
+        c = simplex_inv_multiplier(gg, self.eps, c_warm=c_prev)
+        return 1.0 / (gg + c), c
+
+    def div_prox_map_warm(self, y, g, L, c_prev):
+        return self.prox_map_warm(g + L / y, L, c_prev)
+
 
 @pytree_dataclass
 class BurgEntropyL2Ball(BurgEntropy):

@@ -40,7 +40,7 @@ def solve_cubic(c, beta):
     return z
 
 
-def simplex_inv_multiplier(gg, eps, max_newton=100):
+def simplex_inv_multiplier(gg, eps, max_newton=100, c_warm=None):
     """Solve ``sum_i 1/(gg_i + c) = 1`` for the unique ``c > -min(gg)``.
 
     This is the KKT multiplier of ``argmin_{x in simplex} <g,x> - L*sum log x``
@@ -91,6 +91,19 @@ def simplex_inv_multiplier(gg, eps, max_newton=100):
     c0 = cmin + jnp.asarray(1.0, dtype)
     c_hm = n_eff - gg_sum / n_eff
     c = jnp.maximum(c0, c_hm)
+    if c_warm is not None:
+        # Warm start from a carried previous multiplier (stateful
+        # drivers): both c0 and c_hm are certified below the root, and a
+        # stale c above the root self-corrects — for a convex decreasing
+        # residual the first Newton step from the f < 0 side lands below
+        # the root, monotone from there.  Guards: the domain (c > cmin),
+        # non-finite carries, and the certified root upper bound
+        # c* <= cmin + n (from 1 = sum 1/(gg+c*) <= n/(gg_min + c*)) so a
+        # wildly stale carry is discarded rather than risking a Newton
+        # jump out of the domain from the flat far tail.
+        cw = jnp.asarray(c_warm, dtype)
+        ok = jnp.isfinite(cw) & (cw > cmin) & (cw <= cmin + n_eff)
+        c = jnp.where(ok, jnp.maximum(c, cw), c)
 
     # Newton on resid(c); monotone decreasing & convex in c, so from
     # resid(c) >= 0 it converges from below (reference :344-355).
@@ -101,6 +114,10 @@ def simplex_inv_multiplier(gg, eps, max_newton=100):
     def nw_body(state):
         c, fc, fpc, it = state
         c_new = c - fc / fpc
+        # Domain safeguard: from any below-root start the updates increase
+        # monotonically and this never fires (bitwise no-op); a from-above
+        # warm start overshooting past cmin bisects back into the domain.
+        c_new = jnp.where(c_new > cmin, c_new, 0.5 * (c + cmin))
         # Guard: if the update underflows to no movement, freeze (matches
         # the reference's early break at functions.py:348-349).
         frozen = c_new == c
