@@ -44,6 +44,19 @@ def _div_pair(h, a1, b1, a2, b2):
     return d[0], d[1]
 
 
+def _accept_delta(f, scale):
+    """AIBM-style inexact-oracle allowance for descent acceptances:
+    ``accept_tol * (1 + |f-value scale|)`` for oracles that declare their
+    noise (DOptimalObjMixed etc.), exactly 0.0 for exact oracles — adding
+    it is then a bitwise no-op.  Without it, a line search whose TRUE
+    margin sits below the oracle noise fails forever (the gain G inflates
+    until steps stall into a spurious converged stop)."""
+    tol = getattr(f, "accept_tol", 0.0)
+    if not tol:
+        return 0.0
+    return tol * (1.0 + jnp.abs(scale))
+
+
 def _warm_prox(h, c, y, g, Lt):
     """div_prox_map with the carried multiplier warm start when the
     h-oracle supports it (fast_gram carries hold 'cpx'); returns
@@ -72,12 +85,15 @@ def _bpg_step(cfg, prob, c, k):
     if cfg.linesearch:
         ls_ratio = prob["ls_ratio"]
 
+        delta = _accept_delta(f, fx)
+
         def trial(Lt):
             x1 = h.div_prox_map(x, g, Lt)
             # NaN-robust acceptance: ~(lhs <= rhs) so a trial that leaves
             # the kernel domain (NaN) counts as a failure and L backs off
             # (the reference would assert-crash there, functions.py:243).
-            fail = ~(f.value(x1) <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
+            fail = ~(f.value(x1) <= fx + jnp.vdot(g, x1 - x)
+                     + Lt * h.divergence(x1, x) + delta)
             return x1, fail
 
         L1 = Lk / ls_ratio
@@ -121,9 +137,12 @@ def _bpg_dopt_step(cfg, prob, c, k):
     def trial(Lt):
         x1, cpx = _warm_prox(h, c, x, g, Lt)
         G1 = f.gram(x1)
-        ld1 = _fg.anchored_logdet(f, ld_x, 1.0, M, G1, G1)
+        ld1, s1 = _fg.anchored_logdet_shift(f, ld_x, 1.0, M, G1, G1)
         f1 = -ld1
-        fail = ~(f1 <= fx + jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x))
+        # acceptance on the logdet SHIFT (f1 - fx = -s1): absolutely
+        # accurate, immune to O(1) value cancellation (see fastgram)
+        fail = ~(-s1 <= jnp.vdot(g, x1 - x) + Lt * h.divergence(x1, x)
+                 + _accept_delta(f, fx))
         cpx = jnp.zeros(()) if cpx is None else cpx
         return x1, G1, f1, cpx, fail
 
@@ -393,7 +412,8 @@ def _abpg_expo_step(cfg, prob, c, k):
             fail = ~(dxy <= Gmargin * theta**gm * dzz)
         else:
             fxn = f.value(x_new)
-            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
+            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y)
+                     + theta**gm * L * dzz + _accept_delta(f, fy))
         return dict(gamma=gm, z=z_new, x=x_new, dxy=dxy, dzz=dzz, Gdr=Gdr,
                     fxn=fxn, fail=fail)
 
@@ -449,7 +469,6 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
     Gy = (1.0 - theta) * Gx + theta * Gz
     M = _fg.inv_at(f, Gy, M_1)
     ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
-    fy = -ld_y
     g = f.grad_from_inv(M)
 
     def attempt(gm):
@@ -457,14 +476,17 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
         x_new = (1.0 - theta) * x + theta * z_new
         Gz_new = f.gram(z_new)
         Gx_new = (1.0 - theta) * Gx + theta * Gz_new
-        ld_xn = _fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+        ld_xn, s_xn = _fg.anchored_logdet_shift(f, ld_y, 1.0, M, Gx_new,
+                                                Gx_new)
         fxn = -ld_xn
         dxy, dzz = _div_pair(h, x_new, y, z_new, z)
         Gdr = dxy / dzz / theta**gm
         if cfg.checkdiv:
             fail = ~(dxy <= Gmargin * theta**gm * dzz)
         else:
-            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gm * L * dzz)
+            # acceptance on the logdet SHIFT (see fastgram)
+            fail = ~(-s_xn <= jnp.vdot(g, x_new - y) + theta**gm * L * dzz
+                     + _accept_delta(f, ld_x))
         out = dict(gamma=gm, z=z_new, x=x_new, Gz=Gz_new, Gx=Gx_new,
                    fxn=fxn, dxy=dxy, dzz=dzz, Gdr=Gdr, fail=fail)
         if cpx is not None:
@@ -594,7 +616,8 @@ def _abpg_gain_step(cfg, prob, c, k):
             fail = ~(Gdr <= G)
         else:
             fxn = f.value(x_new)
-            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
+            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y)
+                     + theta**gam * G * L * dzz + _accept_delta(f, fy))
         fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
         return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, dxy=dxy,
                     dzz=dzz, Gdr=Gdr, fxn=fxn, fail=fail, t=t)
@@ -684,14 +707,14 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
         M = _fg.inv_at(f, Gy, M_1)
         # logdet Gy = ld_x - logdet(M Gx)   [M ~= Gy^{-1}]
         ld_y = _fg.anchored_logdet(f, ld_x, -1.0, M, Gx, Gy)
-        fy = -ld_y
         g = f.grad_from_inv(M)
         z_new, cpx = _warm_prox(h, c, z, g, theta ** (gam - 1.0) * G * L)
         x_new = (1.0 - theta) * x + theta * z_new
         Gz_new = f.gram(z_new)
         Gx_new = (1.0 - theta) * Gx + theta * Gz_new
         # logdet Gx_new = ld_y + logdet(M Gx_new)
-        ld_xn = _fg.anchored_logdet(f, ld_y, 1.0, M, Gx_new, Gx_new)
+        ld_xn, s_xn = _fg.anchored_logdet_shift(f, ld_y, 1.0, M, Gx_new,
+                                                Gx_new)
         fxn = -ld_xn
         dxy, dzz = _div_pair(h, x_new, y, z_new, z)
         early = dzz < eps
@@ -699,7 +722,10 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
         if cfg.checkdiv:
             fail = ~(Gdr <= G)
         else:
-            fail = ~(fxn <= fy + jnp.vdot(g, x_new - y) + theta**gam * G * L * dzz)
+            # acceptance on the logdet SHIFT (fxn - fy = -s_xn): immune to
+            # O(1) value cancellation (see fastgram.anchored_logdet_shift)
+            fail = ~(-s_xn <= jnp.vdot(g, x_new - y)
+                     + theta**gam * G * L * dzz + _accept_delta(f, ld_x))
         fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
         out = dict(G=G, theta=theta, g=g, z=z_new, x=x_new,
                    Gz=Gz_new, Gx=Gx_new, Minv=M, fxn=fxn, dxy=dxy,

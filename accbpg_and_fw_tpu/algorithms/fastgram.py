@@ -84,8 +84,8 @@ def series_logdet(E):
              + t8 / 8)
 
 
-def anchored_logdet(f, ld_anchor, sign, M, G_series, G_target):
-    """logdet(G_target) from a known anchor logdet.
+def anchored_logdet_shift(f, ld_anchor, sign, M, G_series, G_target):
+    """(logdet(G_target), shift) from a known anchor logdet.
 
     ``sign=+1``: target = the G entering the series, anchor = the point M
     inverts:      ld_target = ld_anchor + logdet(M G_series).
@@ -93,12 +93,31 @@ def anchored_logdet(f, ld_anchor, sign, M, G_series, G_target):
                   ld_target = ld_anchor - logdet(M G_series).
     Falls back to the oracle's full factorization of G_target when the
     series residual is too large.
+
+    The SHIFT (ld_target - ld_anchor) is returned separately because it is
+    the series value itself — absolutely accurate to ~1e-16 even when the
+    logdets are O(1).  Descent acceptances must test the shift directly:
+    comparing two separately-computed O(1) objective values loses the
+    difference to cancellation once the descent margin shrinks below the
+    oracle's value noise (observed: the gain line search of the mixed
+    oracle on XLA:CPU failing persistently, G inflating to ~3e7 and the
+    run stalling into a spurious dzz-converged stop at 4380/9000
+    iterations).  In the fallback branch the shift comes from a
+    subtraction, but there ||E|| > 0.03 so the shift is large and the
+    cancellation is harmless.
     """
     E = jnp.eye(G_series.shape[0], dtype=G_series.dtype) - M @ G_series
     ok = jnp.sum(E * E) <= SERIES_TAU2
-    return lax.cond(ok,
-                    lambda: ld_anchor + sign * series_logdet(E),
-                    lambda: f.logdet_full(G_target))
+    s = lax.cond(ok,
+                 lambda: sign * series_logdet(E),
+                 lambda: f.logdet_full(G_target) - ld_anchor)
+    return ld_anchor + s, s
+
+
+def anchored_logdet(f, ld_anchor, sign, M, G_series, G_target):
+    """logdet(G_target) from a known anchor (see anchored_logdet_shift)."""
+    return anchored_logdet_shift(f, ld_anchor, sign, M, G_series,
+                                 G_target)[0]
 
 
 def init_state(f, x0):

@@ -123,6 +123,20 @@ class DOptimalObjMixed(SmoothOracle):
     (ipynb/ABPGvsFW/ex_Dopt_ABPGvsFW.ipynb cell5, 577 s reference CPU).
     """
 
+    # Declared oracle accuracy for line-search acceptances: descent tests
+    # compare quantities whose TRUE difference can sit below the oracle's
+    # ~1e-12 value/gradient noise; drivers add accept_tol * (1 + |f|) so a
+    # noise-level violation cannot fail the search forever (the observed
+    # failure mode: the gain G inflating ~1e6 until steps stall into a
+    # spurious dzz-converged stop).  Mirrors the reference's AIBM
+    # inexact-oracle delta (algorithms.py:625-637).  Measured on the gain
+    # LS at 30x1000 (XLA:CPU): no delta -> stall at 4380/9000 iterations
+    # with G ~ 3e7; 1e-10 -> 8024 iterations, F within 9e-5 of the f64
+    # 9000-iteration value.  The fast_gram path is immune by construction
+    # (its acceptance tests the trace-series logdet SHIFT directly) and
+    # runs the full budget with G ~ 1.
+    accept_tol = 1e-10
+
     H: Any = None          # (m, n) f64 design matrix (kept for elementwise)
     Vds_hi: Any = None     # (m, n) f32 double-single planes of H (W split)
     Vds_lo: Any = None
@@ -348,6 +362,8 @@ class PoissonRegressionMixed(_RegressionMixed):
     """``PoissonRegression`` with the GEMVs as exact int8 Ozaki products
     (f(x) = D_KL(b, Ax); reference: functions.py:85-120)."""
 
+    accept_tol = 1e-10  # declared value/grad noise for line-search deltas
+
     def value(self, x, key=None):
         Ax = self._ax(x)
         return jnp.sum(self.b * jnp.log(self.b / Ax) + Ax - self.b)
@@ -362,6 +378,8 @@ class PoissonRegressionMixed(_RegressionMixed):
 class KLdivRegressionMixed(_RegressionMixed):
     """``KLdivRegression`` with the GEMVs as exact int8 Ozaki products
     (f(x) = D_KL(Ax, b); reference: functions.py:123-158)."""
+
+    accept_tol = 1e-10  # declared value/grad noise for line-search deltas
 
     def value(self, x, key=None):
         Ax = self._ax(x)

@@ -253,7 +253,7 @@ def run_reference():
     return results
 
 
-def run_f64():
+def run_f64(force_cpu=False):
     """f64-parity runs through the round-2 accelerations:
 
     * tiny scales (30x1000, 1000x100) auto-route to host XLA:CPU
@@ -266,6 +266,8 @@ def run_f64():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import accbpg_and_fw_tpu as acc
@@ -331,10 +333,13 @@ if __name__ == "__main__":
     p.add_argument("--ours", action="store_true")
     p.add_argument("--reference", action="store_true")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the host backend for --f64 (no TPU-process "
+                        "routing overhead; isolates pure host numbers)")
     a = p.parse_args()
     if a.reference:
         run_reference()
     if a.f64:
-        run_f64()
+        run_f64(force_cpu=a.cpu)
     if a.ours or not (a.reference or a.f64):
         run_ours()
