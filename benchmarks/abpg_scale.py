@@ -298,6 +298,13 @@ def run_f64(force_cpu=False):
     bench("f64_dopt_30x1000_bpg_ls_mixed_fastgram", lambda: acc.BPG(
         fmx, h, L, x064, maxitrs=9000, linesearch=True, verbose=False,
         fast_gram=True))
+
+    def _cpu_fastgram_bpg():
+        with acc.solver_device("cpu"):
+            return acc.BPG(f64, h, L, x064, maxitrs=9000, linesearch=True,
+                           verbose=False, fast_gram=True)
+
+    bench("f64_dopt_30x1000_bpg_ls_cpu_fastgram", _cpu_fastgram_bpg)
     bench("f64_dopt_30x1000_abpg_gain_autocpu", lambda: acc.ABPG_gain(
         f64, h, L, x064, gamma=2, maxitrs=9000, verbose=False))
     bench("f64_dopt_30x1000_abpg_gain_mixed_tpu", lambda: acc.ABPG_gain(
@@ -305,6 +312,13 @@ def run_f64(force_cpu=False):
     bench("f64_dopt_30x1000_abpg_gain_mixed_fastgram", lambda: acc.ABPG_gain(
         fmx, h, L, x064, gamma=2, maxitrs=9000, verbose=False,
         fast_gram=True))
+
+    def _cpu_fastgram_gain():
+        with acc.solver_device("cpu"):
+            return acc.ABPG_gain(f64, h, L, x064, gamma=2, maxitrs=9000,
+                                 verbose=False, fast_gram=True)
+
+    bench("f64_dopt_30x1000_abpg_gain_cpu_fastgram", _cpu_fastgram_gain)
 
     f2, h2, L2, x02 = probs["dopt_30x10000"]
     H2 = np.asarray(f2.H, np.float64)
@@ -315,6 +329,14 @@ def run_f64(force_cpu=False):
     bench("f64_dopt_30x10000_abpg_gain_mixed_fastgram", lambda: acc.ABPG_gain(
         fmx2, h2, L2, x0264, gamma=2, maxitrs=9000, verbose=False,
         fast_gram=True))
+    f264 = acc.DOptimalObj(H=jnp.asarray(H2))
+
+    def _cpu_fastgram_gain_big():
+        with acc.solver_device("cpu"):
+            return acc.ABPG_gain(f264, h2, L2, x0264, gamma=2, maxitrs=9000,
+                                 verbose=False, fast_gram=True)
+
+    bench("f64_dopt_30x10000_abpg_gain_cpu_fastgram", _cpu_fastgram_gain_big)
 
     f3, h3, L3, x03 = probs["kl_1000x100"]
     f364 = acc.KLdivRegression(A=jnp.asarray(np.asarray(f3.A, np.float64)),
