@@ -30,6 +30,15 @@ from .driver import run_driver
 _LS_MAX = 200
 
 
+
+def _accept_delta(f, scale):
+    """AIBM-style inexact-oracle allowance (see bpg._accept_delta): exactly
+    0.0 for oracles that do not declare accept_tol."""
+    tol = getattr(f, "accept_tol", 0.0)
+    if not tol:
+        return 0.0
+    return tol * (1.0 + jnp.abs(scale))
+
 def _gdp_banded(g, d, delta):
     """<g,d> with the reference's band-zeroing: values in (0, delta] -> 0."""
     gdp = jnp.vdot(g, d)
@@ -74,7 +83,8 @@ def _fw_div_step(cfg, prob, c, k):
             a = alpha_of(Lt)
             x1 = x + a * d
             # NaN-robust acceptance (see bpg.py): NaN trial => back off L
-            fail = ~(f.value(x1) <= fx + a * gdp + a**gamma * Lt * div)
+            fail = ~(f.value(x1) <= fx + a * gdp + a**gamma * Lt * div
+                     + _accept_delta(f, fx))
             return x1, fail
 
         L1 = Lk / ls_ratio
@@ -247,7 +257,9 @@ def _fw_l0l1_shortest_step(cfg, prob, c, k):
         )
         x1 = x + alpha * d
         if cfg.linesearch:
-            fail = ~(f.value(x1) <= fx + alpha * gdp + alpha**gamma * (a_k / 2.0) * e_const * div)
+            fail = ~(f.value(x1) <= fx + alpha * gdp
+                     + alpha**gamma * (a_k / 2.0) * e_const * div
+                     + _accept_delta(f, fx))
         else:
             fail = jnp.asarray(False)
         fail = fail & (t < _LS_MAX)
@@ -361,7 +373,7 @@ def _fw_l0l1_log_step(cfg, prob, c, k):
             z = L1t * alpha * d_norm
             exp_term = jnp.where(z < 50.0, jnp.expm1(z) - z, 0.5 * z * z)
             rhs = fx + alpha * gdp + (a_k / L1t**2) * exp_term
-            fail = ~(f.value(x1) <= rhs)
+            fail = ~(f.value(x1) <= rhs + _accept_delta(f, fx))
         else:
             fail = jnp.asarray(False)
         fail = fail & (t < _LS_MAX)
