@@ -181,6 +181,20 @@ def test_fast_gram_checkpoint_resume_bitwise(tmp_path):
                                   np.asarray(r_full[0]))
 
 
+def test_accept_delta_contract():
+    """Exact oracles must get a LITERAL 0.0 allowance (adding it is a
+    bitwise no-op — golden parity depends on this); noise-declaring
+    oracles get accept_tol * (1 + |scale|)."""
+    from accbpg_and_fw_tpu.algorithms.bpg import _accept_delta
+
+    f64 = acc.DOptimalObj(H=jnp.ones((3, 9), jnp.float64))
+    d = _accept_delta(f64, jnp.asarray(5.0))
+    assert isinstance(d, float) and d == 0.0
+    fmx = acc.DOptimalObjMixed.from_design(
+        np.random.default_rng(0).standard_normal((5, 20)))
+    assert float(_accept_delta(fmx, jnp.asarray(-9.0))) == 1e-10 * 10.0
+
+
 def test_fast_gram_rejects_plain_oracles():
     rng = np.random.default_rng(0)
     A = np.abs(rng.standard_normal((50, 20))) + 0.1
