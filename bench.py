@@ -22,15 +22,39 @@ Output: one JSON line {metric, value, unit, vs_baseline, ...}.
 
 import json
 import os
+import subprocess
 import sys
+
+
+def _tpu_reachable(timeout_s=180):
+    """Probe device initialization in a SUBPROCESS with a hard timeout.
+
+    The axon remote-compile tunnel can wedge a process permanently during
+    backend init (observed: >40 min hangs during an outage); probing
+    in-process would wedge the bench itself.  On failure the bench falls
+    back to the host backend so the round still records a result."""
+    code = "import jax; assert jax.devices()[0].platform != 'cpu'"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           env=dict(os.environ),
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
     import numpy as np
 
+    tpu_ok = _tpu_reachable()
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    if not tpu_ok:
+        jax.config.update("jax_platforms", "cpu")
+        print("# TPU unreachable (tunnel probe timed out) - falling back "
+              "to the host backend", file=sys.stderr)
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -49,11 +73,16 @@ def main():
     # best-of-2: the shared-TPU tunnel shows up to ~2x run-to-run throughput
     # variance; the faster run reflects the hardware, the slower reflects
     # interference (the reference baseline was likewise an unloaded run)
+    # On the host fallback the DS (two-float32) arithmetic is pure
+    # overhead — the CPU has native f64, and the exact engine reproduces
+    # the reference trajectory bit-identically (34 s recorded) where DS
+    # pairs cost minutes.  DS is the TPU engine.
+    u_mode = "ds" if tpu_ok else "exact"
     walls = []
-    for _ in range(3):
+    for _ in range(3 if tpu_ok else 2):
         x, F, SP, SN, T = acc.D_opt_FW_away(V64, x0, eps=base["config"]["eps"],
                                             maxitrs=iters, verbose=False,
-                                            chunk=2500, u_mode="ds")
+                                            chunk=2500, u_mode=u_mode)
         walls.append(float(T[-1]))
     solve_s = min(walls)
 
@@ -75,6 +104,7 @@ def main():
         "certified_gap": gap,
         "solver_slack": [float(SP[-1]), float(SN[-1])],
         "quality_pass": bool(abs(gap) <= 1e-6),
+        "device": jax.devices()[0].platform,
     }
     print(json.dumps(result))
 
