@@ -73,6 +73,37 @@ class TestShardedDOpt:
         r2 = acc.ABPG_gain(f_sh, h, L, x_sh, gamma=2, maxitrs=40, verbose=False)
         np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]), rtol=1e-11)
 
+    def test_abpg_gain_fastgram_sharded_matches_single(self, mesh):
+        """The linear-Gram fast path (fast_gram=True) under column sharding:
+        the one O(m^2 n) contraction per trial psums over the mesh, every
+        carried m x m quantity (Gram, Schulz inverse, logdet) replicates —
+        GSPMD propagates it all from the input shardings alone."""
+        f, h, L, x0 = acc.D_opt_design(16, 64, randseed=5)
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+        r1 = acc.ABPG_gain(f, h, L, x0, gamma=2, maxitrs=40, verbose=False,
+                           fast_gram=True)
+        r2 = acc.ABPG_gain(f_sh, h, L, x_sh, gamma=2, maxitrs=40,
+                           verbose=False, fast_gram=True)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-9)
+
+    def test_bpg_fastgram_sharded_non_divisible_n(self, mesh):
+        """fast_gram + zero-padded columns: pads enter the carried-Gram
+        machinery as exactly-zero columns and the prox warm start excludes
+        them (CLAUDE.md), so the padded sharded trajectory must equal the
+        unpadded single-device one."""
+        f, h, L, x0 = acc.D_opt_design(12, 50, randseed=5)  # 50 % 8 != 0
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+        r1 = acc.BPG(f, h, L, x0, maxitrs=60, verbose=False, fast_gram=True)
+        r2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=60, verbose=False,
+                     fast_gram=True)
+        assert len(r1[1]) == len(r2[1])
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-9)
+        x2 = np.asarray(r2[0])
+        np.testing.assert_allclose(np.asarray(r1[0]), x2[:50], atol=1e-10)
+        np.testing.assert_array_equal(x2[50:], 0.0)
+
     def test_dopt_fw_away_sharded_matches_single(self, mesh):
         f, h, L, x0 = acc.D_opt_design(12, 128, randseed=5)
         V = f.H
