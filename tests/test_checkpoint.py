@@ -126,3 +126,72 @@ def test_executable_cache_reuse():
     f3, h3, L3, x03 = acc.D_opt_design(10, 48, randseed=9)
     acc.BPG(f3, h3, L3, x03, maxitrs=30, verbose=False)
     assert len(driver._EXEC_CACHE) == n_before + 1
+
+
+def test_closure_path_respects_budget():
+    """Round-2 review finding: the closure (uncached) path had no budget
+    masking — a maxitrs that was not a chunk multiple returned a carry that
+    had run to the end of the chunk (e.g. 512 iterations for maxitrs=300),
+    ahead of the truncated history."""
+    import jax.numpy as jnp
+
+    from accbpg_and_fw_tpu.algorithms import driver
+
+    def step(c, k):
+        return (dict(done=c["done"], n=c["n"] + 1),
+                {"_stop": jnp.asarray(False), "k": k})
+
+    carry0 = dict(done=jnp.asarray(False), n=jnp.asarray(0, jnp.int32))
+    carry, hist, T = driver.run_driver(step, carry0, maxitrs=300,
+                                       verbose=False, chunk=256)
+    assert int(carry["n"]) == 300
+    assert len(hist["k"]) == 300
+    assert int(hist["k"][-1]) == 299
+
+
+def test_resume_refuses_different_hyperparameters(tmp_path):
+    """The fingerprint covers the full config, not just the driver name:
+    resuming a linesearch=True run as linesearch=False must refuse instead
+    of silently continuing under different semantics."""
+    import pytest
+
+    f, h, L, x0 = acc.D_opt_design(10, 30, randseed=4)
+    ck = str(tmp_path / "hp.npz")
+    acc.BPG(f, h, L, x0, maxitrs=40, verbose=False, chunk=20, checkpoint=ck,
+            linesearch=True)
+    with pytest.raises(ValueError, match="different solver"):
+        acc.BPG(f, h, L, x0, maxitrs=60, verbose=False, chunk=20,
+                checkpoint=ck, linesearch=False)
+
+
+def test_sharded_resume_bitwise(tmp_path):
+    """Resuming a mesh-sharded run must restore the carry WITH its
+    shardings (the chunk executable was compiled against sharded avals)."""
+    import jax
+
+    from accbpg_and_fw_tpu.parallel import data_mesh, shard_dopt_problem
+
+    mesh = data_mesh(jax.devices()[:8])
+    f, h, L, x0 = acc.D_opt_design(12, 64, randseed=4)
+    f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+    ck = str(tmp_path / "sharded.npz")
+
+    r_ref = acc.BPG(f_sh, h, L, x_sh, maxitrs=120, verbose=False, chunk=40)
+    acc.BPG(f_sh, h, L, x_sh, maxitrs=80, verbose=False, chunk=40,
+            checkpoint=ck)
+    r2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=120, verbose=False, chunk=40,
+                 checkpoint=ck)
+    np.testing.assert_array_equal(np.asarray(r_ref[1]), np.asarray(r2[1]))
+    np.testing.assert_array_equal(np.asarray(r_ref[0]), np.asarray(r2[0]))
+
+
+def test_resume_refuses_different_problem_shape(tmp_path):
+    import pytest
+
+    f, h, L, x0 = acc.D_opt_design(10, 30, randseed=4)
+    ck = str(tmp_path / "shape.npz")
+    acc.BPG(f, h, L, x0, maxitrs=40, verbose=False, chunk=20, checkpoint=ck)
+    f2, h2, L2, x02 = acc.D_opt_design(10, 40, randseed=4)
+    with pytest.raises(ValueError, match="shape"):
+        acc.BPG(f2, h2, L2, x02, maxitrs=40, verbose=False, chunk=20,
+                checkpoint=ck)
