@@ -31,6 +31,7 @@ module is what lets the TPU build match that accuracy at f32 speed.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SPLIT = 4097.0  # 2^12 + 1: Veltkamp constant for float32 (24-bit mantissa)
@@ -107,7 +108,28 @@ def from_f32(a):
 
 
 def from_f64(a):
-    """Split a f64 array into a DS pair (exact to ~2^-49)."""
+    """Split a f64 array into a DS pair (exact to ~2^-49).
+
+    Host inputs (numpy arrays, Python floats) are split in NUMPY, which is
+    immune to the x64 footgun: with ``jax_enable_x64`` off, ``jnp.asarray``
+    silently downcasts f64 to f32 and the lo plane would collapse to exact
+    zeros — the caller would hold plain f32 while believing it has ~49
+    significand bits.  A device/traced input must already be float64
+    (requires x64); anything else raises instead of degrading silently.
+    """
+    import numpy as np
+
+    if not isinstance(a, jax.Array):
+        a64 = np.asarray(a, np.float64)
+        hi = np.asarray(a64, np.float32)
+        lo = np.asarray(a64 - hi.astype(np.float64), np.float32)
+        return jnp.asarray(hi), jnp.asarray(lo)
+    if a.dtype != jnp.float64:
+        raise ValueError(
+            f"from_f64 needs a float64 input, got {a.dtype} — with "
+            "jax_enable_x64 off the lo plane would be exactly 0 (plain f32 "
+            "accuracy). Pass the numpy array directly, enable x64, or use "
+            "from_f32 for genuine f32 values.")
     hi = jnp.asarray(a, jnp.float32)
     lo = jnp.asarray(a - hi.astype(a.dtype), jnp.float32)
     return hi, lo

@@ -95,27 +95,6 @@ def _ds_div_fast(x, y, interpret):
     return ds.add((q1, q2), (q3, jnp.zeros_like(q3)))
 
 
-def _extract_lane_block(idx, interpret):
-    """Column ``idx`` of a (rows, NP) VMEM ref as a (rows, 1) value.
-
-    Mosaic only allows dynamic lane offsets that are provably 128-aligned,
-    so read the aligned 128-lane block containing the column and mask-reduce
-    within it — touching 128 lanes instead of all NP."""
-    from jax.experimental import pallas as pl
-
-    blk = (idx // _LANE) * _LANE
-    if not interpret:
-        blk = pl.multiple_of(blk, _LANE)
-    off = lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-    msk = off == (idx - blk)
-
-    def one(ref):
-        block = ref[:, pl.ds(blk, _LANE)]
-        return jnp.sum(jnp.where(msk, block, 0.0), axis=1, keepdims=True)
-
-    return one
-
-
 def _ds_allreduce_sub(x, MP, interpret):
     """Butterfly all-reduce of a DS array along the SUBLANE axis (axis 0):
     after log2(MP) roll+add rounds every row holds the column sum.
@@ -299,22 +278,29 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
             wv = wi
             tau = (jnp.full((1, 1), 1.0e-7) + 1.0e-12 * kf32,
                    jnp.zeros((1, 1), jnp.float32))
+            drop = sp < -1.0  # (1, 1) all-False
         elif away:
             xj = (jnp.sum(jnp.where(jmask, xh, 0.0), keepdims=True),
                   jnp.sum(jnp.where(jmask, xl, 0.0), keepdims=True))
             a1 = _ds_div_fast(sn_ds, ds.add_f32(wj, -1.0), interpret)
             a2 = _ds_div_fast(xj, ds.add_f32(ds.neg(xj), 1.0), interpret)
             # select-min lands on a2 if a1 is inf/nan (w_j == 1 divide)
-            t_a = ds.where(ds.lt(a1, a2), a1, a2)
+            use_a1 = ds.lt(a1, a2)
+            t_a = ds.where(use_a1, a1, a2)
             toward = sp >= sn                  # (1, 1) bool
             # boolean-select via logic ops (Mosaic cannot select_n on i1)
             vmask = (toward & imask) | (jnp.logical_not(toward) & jmask)
             wv = ds.where(toward, wi, wj)
             tau = ds.where(toward, t_t, ds.neg(t_a))
+            # boundary away step drops coordinate j: zero it EXACTLY (the
+            # DS residual otherwise parks ghost coords at the 1e-8 support
+            # threshold; see _dopt_step_ds and the batch kernel)
+            drop = jnp.logical_not(toward) & jnp.logical_not(use_a1)
         else:
             vmask = imask
             wv = wi
             tau = t_t
+            drop = sp < -1.0  # (1, 1) all-False
 
         wv_m1 = ds.add_f32(wv, -1.0)
         c_ = _ds_div_fast(tau, ds.add_f32(ds.mul(tau, wv_m1), 1.0), interpret)
@@ -392,7 +378,9 @@ def _fw_kernel_body(m, MP, NP, K, away, interpret,
             outer = ds.mul(HVi_col, HVi_row)
             H_new = ds.mul(ds.sub(H, ds.mul(c_, outer)), r_tau)
         xs = ds.mul(x, one_m_tau)
-        x_new = ds.where(vmask, ds.add(xs, tau), xs)
+        zero = jnp.zeros_like(sp)
+        stepped = ds.where(drop, (zero, zero), ds.add(xs, tau))
+        x_new = ds.where(vmask, stepped, xs)
 
         # logdet tracking happens on HOST from the recorded (tau, twv) rows
         tau_f = tau[0] + tau[1]
@@ -628,8 +616,13 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
         # slacks, so truncate at the FIRST row meeting the criterion
         nv = launched
         if misc[0] > 0.5 and launched:
-            hit = np.flatnonzero((SPb[0, :launched] <= eps)
-                                 & (SNb[0, :launched] <= eps))
+            # compare in f32 like the kernel did: if np.float32(eps) rounds
+            # UP from the f64 eps, the kernel can stop with a recorded f32
+            # slack in (eps, f32(eps)] that an f64 comparison would miss,
+            # leaving the frozen repeat rows untruncated
+            eps32 = np.float32(eps)
+            hit = np.flatnonzero((SPb[0, :launched] <= eps32)
+                                 & (SNb[0, :launched] <= eps32))
             if hit.size:
                 nv = int(hit[0]) + 1
         t_a = T_parts[-1][-1] if T_parts and len(T_parts[-1]) else 0.0
@@ -1078,6 +1071,11 @@ def dopt_fw_pallas_batch(Vs, x0s, eps, maxitrs, away=True, verbose=False,
             state["done"] = dn_d
             k_done += nv
             since_refresh += nv
+            if verbose:
+                ndone = int((dn[:, 0, 0] > 0.5).sum())
+                print(f"[pallas-batch] instances {gi[0]}-{gi[-1]}: "
+                      f"k={k_done}, converged {ndone}/{B}, "
+                      f"max slack {float(SPb[:, 0, nv - 1].max()):.3e}")
             if dn.min() > 0.5:
                 break
             if refresh_every and since_refresh >= refresh_every:

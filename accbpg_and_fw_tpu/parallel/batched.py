@@ -26,39 +26,58 @@ from ..algorithms.d_opt import (
     _make_dopt_step,
     _warn_if_downcast,
 )
-from ..algorithms.driver import _wrap_step
+from ..algorithms.driver import _masked_scan_body, _wrap_step
+
+
+@functools.lru_cache(maxsize=64)
+def _vmapped_jit(solve_one):
+    return jax.jit(jax.vmap(solve_one))
 
 
 def vmap_solver(solve_one, *batched_args):
-    """jit(vmap(...)) a single-instance solver over leading batch axes."""
-    return jax.jit(jax.vmap(solve_one))(*batched_args)
+    """jit(vmap(...)) a single-instance solver over leading batch axes.
+    The jitted wrapper is cached per ``solve_one`` so repeat calls reuse
+    the compiled executable instead of re-tracing."""
+    return _vmapped_jit(solve_one)(*batched_args)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _batch_solve(away, refresh_every, num_iters, Vs, x0s, eps):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _batch_solve(away, refresh_every, num_iters, u_mode, Vs, x0s, eps):
     """Module-level jitted batch solve — cached across calls with matching
     shapes and static options (a closure form would recompile per call)."""
 
     def solve_one(V, x0):
-        step = _make_dopt_step(V, eps, away=away)
-        wrapped = _wrap_step(step)
-        H, w, logdet = _dopt_factorize(V, x0)
-        carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H, logdet=logdet)
+        step = _make_dopt_step(V, eps, away=away, u_mode=u_mode)
+        # budget-mask at num_iters so the refresh path's rounded-up block
+        # grid cannot run the carry past the requested budget
+        body = _masked_scan_body(step, num_iters)
 
         if not refresh_every or refresh_every >= num_iters:
-            carry, hist = lax.scan(wrapped, carry,
+            H, w, logdet = _dopt_factorize(V, x0)
+            carry = dict(done=jnp.asarray(False), x=x0, w=w, H=H,
+                         logdet=logdet)
+            carry, hist = lax.scan(body, carry,
                                    jnp.arange(num_iters, dtype=jnp.int32))
             return carry["x"], hist["F"], hist["SP"], hist["SN"]
 
         R = int(refresh_every)
         nblocks = -(-num_iters // R)
+        # every block re-factorizes at entry, so the initial (H, w, logdet)
+        # are placeholders that the first block overwrites
+        m = V.shape[0]
+        carry = dict(done=jnp.asarray(False), x=x0,
+                     w=jnp.zeros_like(x0),
+                     H=jnp.zeros((m, m), V.dtype),
+                     logdet=jnp.asarray(0.0, V.dtype))
 
-        def block(c, _):
+        def block(c, b):
             Hn, wn, ldn = _dopt_factorize(V, c["x"])
             c = dict(done=c["done"], x=c["x"], w=wn, H=Hn, logdet=ldn)
-            return lax.scan(wrapped, c, jnp.arange(R, dtype=jnp.int32))
+            ks = b * R + jnp.arange(R, dtype=jnp.int32)
+            return lax.scan(body, c, ks)
 
-        carry, hists = lax.scan(block, carry, None, length=nblocks)
+        carry, hists = lax.scan(block, carry,
+                                jnp.arange(nblocks, dtype=jnp.int32))
         hist = jax.tree_util.tree_map(
             lambda a: a.reshape((nblocks * R,) + a.shape[2:])[:num_iters],
             hists,
@@ -125,6 +144,9 @@ def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     Vs64 = onp.asarray(Vs, onp.float64)
     x0s64 = onp.asarray(x0s, onp.float64)
     K = Vs64.shape[0]
+    if num_iters <= 0:
+        z = onp.zeros((K, 0))
+        return x0s64.copy(), z, z.copy(), z.copy()
     carries = {"done": onp.zeros(K, bool)}
     planes = {"V_hi": [], "V_lo": []}
     for name in ("x", "w", "H", "ld"):
@@ -218,7 +240,10 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     for latency-critical sweeps; f32 native supports slack targets down to
     ~1e-4 only; f64 native certifies 1e-8 with numpy-matching iteration
     counts but loses to host numpy at tiny m (emulated f64) — prefer it
-    for m in the hundreds and above, or run tiny-m f64 sweeps on CPU.
+    for m in the hundreds and above, or run tiny-m f64 sweeps on CPU;
+    "mixed" replaces the f64 w-update contraction with the exact-digit
+    int8-Ozaki GEMV (~3e-12 relative — trajectories deviate chaotically
+    through the discrete line searches like any valid arithmetic change).
 
     Note: under vmap the toward/away ``lax.cond`` lowers to a select (both
     branches execute); that doubles the per-iteration FLOPs but turns K
@@ -240,10 +265,17 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     if precision == "ds":
         return dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=away,
                                 refresh_every=refresh_every)
+    if precision not in ("native", "mixed"):
+        raise ValueError(f"unknown precision {precision!r}; expected "
+                         "'native', 'mixed', 'ds' or 'pallas'")
     Vs_in = Vs
     Vs = jnp.asarray(Vs)
     _warn_if_downcast(Vs_in, Vs)
     x0s = jnp.asarray(x0s, Vs.dtype)
     eps = jnp.asarray(eps, Vs.dtype)
+    # "native" means the input dtype's EXACT arithmetic (numpy-matching
+    # trajectories); the inexact int8-Ozaki w-update is its own explicit
+    # setting, never an implicit auto-route
+    u_mode = "mixed" if precision == "mixed" else "exact"
     return _batch_solve(bool(away), int(refresh_every), int(num_iters),
-                        Vs, x0s, eps)
+                        u_mode, Vs, x0s, eps)

@@ -171,3 +171,30 @@ class TestBatchedSweeps:
                 Vs[k], x0s[k], eps=1e-9, maxitrs=300, verbose=False, chunk=300)
             nk = len(Fk)
             np.testing.assert_allclose(np.asarray(Fb[k][:nk]), Fk, rtol=1e-9)
+
+    def test_dopt_batch_refresh_respects_budget(self):
+        """Round-2 review finding: with refresh_every not dividing
+        num_iters, the refresh path's rounded-up block grid ran the carry
+        past the budget — the returned x was ahead of the histories."""
+        K, m, n = 2, 10, 40
+        rng = np.random.default_rng(1)
+        Vs = rng.standard_normal((K, m, n))
+        x0s = np.full((K, n), 1.0 / n)
+
+        # 100 iterations in blocks of 64 -> 2 blocks = 128 raw scan steps;
+        # iterations 100..127 must be frozen
+        xb, Fb, SPb, SNb = dopt_fw_batch(Vs, x0s, eps=1e-12, num_iters=100,
+                                         refresh_every=64)
+        xr, Fr, SPr, SNr = dopt_fw_batch(Vs, x0s, eps=1e-12, num_iters=100)
+        assert Fb.shape == (K, 100)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xr),
+                                   rtol=0, atol=5e-7)
+
+    def test_dopt_batch_zero_iters(self):
+        K, m, n = 2, 8, 32
+        rng = np.random.default_rng(2)
+        Vs = rng.standard_normal((K, m, n))
+        x0s = np.full((K, n), 1.0 / n)
+        x, F, SP, SN = dopt_fw_batch(Vs, x0s, eps=1e-9, num_iters=0,
+                                     precision="ds")
+        assert F.shape == (K, 0) and x.shape == (K, n)
