@@ -57,6 +57,29 @@ def _accept_delta(f, scale):
     return tol * (1.0 + jnp.abs(scale))
 
 
+def _oracle_key(cfg, c):
+    """Per-iteration PRNG threading for stochastic (inexact) f-oracles
+    (ops/base.py protocol): returns ``(next_carry_key, subkey)`` when the
+    config says the oracle draws noise, ``(None, None)`` otherwise.  The
+    reference draws fresh numpy noise inside every ``func_grad`` call
+    (functions.py:957-960); here every GRADIENT evaluation gets a fresh
+    subkey (values are exact in the reference's oracles) and runs are
+    reproducible from the driver's ``seed``."""
+    if getattr(cfg, "stochastic", False):
+        return jax.random.split(c["key"])
+    return None, None
+
+
+def _stoch_carry(f, carry, seed, fast_gram=False):
+    """Add the PRNG key to the initial carry when the f-oracle is
+    stochastic; returns whether it is.  The fast-gram D-opt paths never
+    see stochastic oracles (linear-Gram protocol oracles are exact)."""
+    stoch = bool(getattr(f, "stochastic", False)) and not fast_gram
+    if stoch:
+        carry["key"] = jax.random.PRNGKey(0 if seed is None else seed)
+    return stoch
+
+
 def _warm_prox(h, c, y, g, Lt):
     """div_prox_map with the carried multiplier warm start when the
     h-oracle supports it (fast_gram carries hold 'cpx'); returns
@@ -73,12 +96,15 @@ def _warm_prox(h, c, y, g, Lt):
 
 class _BPGCfg(NamedTuple):
     linesearch: bool
+    stochastic: bool = False
 
 
 def _bpg_step(cfg, prob, c, k):
     f, h = prob["f"], prob["h"]
     x, Lk = c["x"], c["L"]
-    fx, g = f.value_and_grad(x)
+    key, sub = _oracle_key(cfg, c)
+    fx, g = (f.value_and_grad(x, key=sub) if sub is not None
+             else f.value_and_grad(x))
     Fk = fx + h.extra_psi(x)
     stop = (k > 0) & (jnp.abs(Fk - c["F_prev"]) < prob["eps"])
 
@@ -112,6 +138,8 @@ def _bpg_step(cfg, prob, c, k):
         x_new = h.div_prox_map(x, g, Lk)
 
     c2 = dict(done=c["done"], x=x_new, L=Lk, F_prev=Fk)
+    if key is not None:
+        c2["key"] = key
     return c2, dict(F=Fk, Ls=Lk, _stop=stop)
 
 
@@ -173,7 +201,7 @@ def _bpg_dopt_step(cfg, prob, c, k):
 
 def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
         verbose=True, verbskip=1, chunk=None, checkpoint=None,
-        fast_gram=False):
+        fast_gram=False, seed=None):
     """Bregman Proximal Gradient method for min_{x in C} f(x) + Psi(x):
 
         x_{k+1} = argmin_{x in C} { Psi(x) + <f'(x_k), x> + L_k D_h(x, x_k) }
@@ -202,6 +230,7 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
             carry["cpx"] = jnp.asarray(-jnp.inf, dt)
         step = _bpg_dopt_step
         between_chunks = _dopt_state_refresh(f, with_z=False)
+    stoch = _stoch_carry(f, carry, seed, fast_gram)
     header = ("\nBPG_LS method for min_{x in C} F(x) = f(x) + Psi(x)\n"
               "     k      F(x)         Lk       time")
 
@@ -212,7 +241,8 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_BPGCfg(linesearch=bool(linesearch)),
+                                cfg=_BPGCfg(linesearch=bool(linesearch),
+                                            stochastic=stoch),
                                 between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["Ls"], T
 
@@ -226,6 +256,7 @@ class _ABPGCfg(NamedTuple):
     theta_eq: bool
     restart: bool
     restart_rule: str
+    stochastic: bool = False
 
 
 def _abpg_theta(cfg, prob, c):
@@ -266,12 +297,13 @@ def _abpg_restart(cfg, c, k, Fk, g, x_new, z_new, theta, kk,
 def _abpg_step(cfg, prob, c, k):
     f, h, L, gam = prob["f"], prob["h"], prob["L"], prob["gamma"]
     x, z, kk = c["x"], c["z"], c["kk"]
+    key, sub = _oracle_key(cfg, c)
     fx = f.value(x)
     Fk = fx + h.extra_psi(x)
 
     theta = _abpg_theta(cfg, prob, c)
     y = (1.0 - theta) * x + theta * z
-    g = f.grad(y)
+    g = f.grad(y, key=sub) if sub is not None else f.grad(y)
     z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * L)
     x_new = (1.0 - theta) * x + theta * z_new
 
@@ -282,6 +314,8 @@ def _abpg_step(cfg, prob, c, k):
                                        theta, kk + 1)
     stop = dzz < prob["eps"]
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk, F_prev=Fk)
+    if key is not None:
+        c2["key"] = key
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
@@ -326,7 +360,7 @@ def _abpg_dopt_step(cfg, prob, c, k):
 
 def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
          restart=False, restart_rule='g', verbose=True, verbskip=1,
-         chunk=None, checkpoint=None, fast_gram=False):
+         chunk=None, checkpoint=None, fast_gram=False, seed=None):
     """Accelerated Bregman Proximal Gradient (reference: algorithms.py:94-180).
 
     Triple-sequence update with TSE gamma; theta from gamma/(k+gamma) or the
@@ -362,8 +396,9 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
             k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
 
+    stoch = _stoch_carry(f, carry, seed, fast_gram)
     cfg = _ABPGCfg(theta_eq=bool(theta_eq), restart=bool(restart),
-                   restart_rule=str(restart_rule))
+                   restart_rule=str(restart_rule), stochastic=stoch)
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
@@ -382,6 +417,7 @@ class _ABPGExpoCfg(NamedTuple):
     checkdiv: bool
     restart: bool
     restart_rule: str
+    stochastic: bool = False
 
 
 def _abpg_expo_step(cfg, prob, c, k):
@@ -400,7 +436,9 @@ def _abpg_expo_step(cfg, prob, c, k):
         theta = gamma / (kk.astype(dt) + gamma)
 
     y = (1.0 - theta) * x + theta * z
-    fy, g = f.value_and_grad(y)
+    key, sub = _oracle_key(cfg, c)
+    fy, g = (f.value_and_grad(y, key=sub) if sub is not None
+             else f.value_and_grad(y))
 
     def attempt(gm):
         z_new = h.div_prox_map(z, g, theta ** (gm - 1.0) * L)
@@ -427,20 +465,14 @@ def _abpg_expo_step(cfg, prob, c, k):
     dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
     fx_new = f.value(x_new) if cfg.checkdiv else s["fxn"]
 
-    kk = kk + 1
-    theta_c = theta
-    if cfg.restart:
-        if cfg.restart_rule == 'f':
-            trig = Fk > c["F_prev"]
-        else:
-            trig = jnp.vdot(g, x_new - x) > 0
-        theta_c = jnp.where(trig, one, theta)
-        kk = jnp.where(trig, 0, kk)
-        z_new = _tree_where(trig, x_new, z_new)
+    theta_c, kk, z_new = _abpg_restart(cfg, c, k, Fk, g, x_new, z_new,
+                                       theta, kk + 1, k_guard=False)
 
     stop = dzz < prob["eps"]
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
               gamma=gamma, F_prev=Fk, fx=fx_new)
+    if key is not None:
+        c2["key"] = key
     return c2, dict(F=Fk, Gamma=gamma, G=Gdr, theta=theta, dxy=dxy,
                     dzz=dzz, _stop=stop)
 
@@ -520,7 +552,7 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
 def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
               theta_eq=True, checkdiv=False, Gmargin=10, restart=False,
               restart_rule='g', verbose=True, verbskip=1, chunk=None,
-              checkpoint=None, fast_gram=False):
+              checkpoint=None, fast_gram=False, seed=None):
     """ABPG with exponent adaption: start gamma0 > 2, decrease gamma by
     ``delta`` (floor 1) while the TSE inequality / descent condition fails
     (reference: algorithms.py:183-292).  Returns ``(x, F, Gamma, G, T)``.
@@ -558,8 +590,10 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:10.3e}  {7:6.1f}".format(
             k, r["F"], r["theta"], r["Gamma"], r["G"], r["dxy"], r["dzz"], t))
 
+    stoch = _stoch_carry(f, carry, seed, fast_gram)
     cfg = _ABPGExpoCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
-                       restart=bool(restart), restart_rule=str(restart_rule))
+                       restart=bool(restart), restart_rule=str(restart_rule),
+                       stochastic=stoch)
     carry, hist, T = run_driver(step, carry, maxitrs,
                                 verbose=verbose, verbskip=verbskip,
                                 header=header, print_row=row, chunk=chunk,
@@ -578,6 +612,7 @@ class _ABPGGainCfg(NamedTuple):
     checkdiv: bool
     restart: bool
     restart_rule: str
+    stochastic: bool = False
 
 
 def _abpg_gain_step(cfg, prob, c, k):
@@ -594,7 +629,7 @@ def _abpg_gain_step(cfg, prob, c, k):
     fx = c["fx"]
     Fk = fx + h.extra_psi(x)
 
-    def attempt(G, t):
+    def attempt(G, t, key):
         if cfg.theta_eq:
             theta = jnp.where(kk > 0, solve_theta(theta_1, gam, G / G_1), theta_1)
         else:
@@ -605,7 +640,13 @@ def _abpg_gain_step(cfg, prob, c, k):
                 theta_1,
             )
         y = (1.0 - theta) * x + theta * z
-        fy, g = f.value_and_grad(y)
+        if cfg.stochastic:
+            # fresh noise per TRIAL, like the reference's per-call numpy
+            # draw (each gain trial has a different y)
+            key, sub = jax.random.split(key)
+            fy, g = f.value_and_grad(y, key=sub)
+        else:
+            fy, g = f.value_and_grad(y)
         z_new = h.div_prox_map(z, g, theta ** (gam - 1.0) * G * L)
         x_new = (1.0 - theta) * x + theta * z_new
         dxy, dzz = _div_pair(h, x_new, y, z_new, z)
@@ -619,13 +660,16 @@ def _abpg_gain_step(cfg, prob, c, k):
             fail = ~(fxn <= fy + jnp.vdot(g, x_new - y)
                      + theta**gam * G * L * dzz + _accept_delta(f, fy))
         fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
-        return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, dxy=dxy,
-                    dzz=dzz, Gdr=Gdr, fxn=fxn, fail=fail, t=t)
+        out = dict(G=G, theta=theta, g=g, z=z_new, x=x_new, dxy=dxy,
+                   dzz=dzz, Gdr=Gdr, fxn=fxn, fail=fail, t=t)
+        if cfg.stochastic:
+            out["key"] = key
+        return out
 
-    s = attempt(G_1 / ls_dec, 0)
+    s = attempt(G_1 / ls_dec, 0, c.get("key"))
     s = lax.while_loop(
         lambda s: s["fail"],
-        lambda s: attempt(s["G"] * ls_inc, s["t"] + 1),
+        lambda s: attempt(s["G"] * ls_inc, s["t"] + 1, s.get("key")),
         s,
     )
     G, theta, g = s["G"], s["theta"], s["g"]
@@ -636,20 +680,14 @@ def _abpg_gain_step(cfg, prob, c, k):
     sumlogG = c["sumlogG"] + jnp.log(G)
     Gavg = jnp.exp(sumlogG / (gam + k.astype(dt)))
 
-    kk = kk + 1
-    theta_c = theta
-    if cfg.restart:
-        if cfg.restart_rule == 'f':
-            trig = Fk > c["F_prev"]
-        else:
-            trig = jnp.vdot(g, x_new - x) > 0
-        theta_c = jnp.where(trig, one, theta)
-        kk = jnp.where(trig, 0, kk)
-        z_new = _tree_where(trig, x_new, z_new)
+    theta_c, kk, z_new = _abpg_restart(cfg, c, k, Fk, g, x_new, z_new,
+                                       theta, kk + 1, k_guard=False)
 
     stop = dzz < eps
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta_c, kk=kk,
               G=G, sumlogG=sumlogG, F_prev=Fk, fx=fx_new)
+    if "key" in c:
+        c2["key"] = s["key"]
     return c2, dict(F=Fk, Gain=G, Gdiv=Gdr, Gavg=Gavg, theta=theta,
                     dxy=dxy, dzz=dzz, _stop=stop)
 
@@ -785,7 +823,7 @@ def _dopt_state_refresh(f, with_z=True):
 def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
               ls_inc=1.2, ls_dec=1.2, theta_eq=True, checkdiv=False,
               restart=False, restart_rule='g', verbose=True, verbskip=1,
-              chunk=None, checkpoint=None, fast_gram=False):
+              chunk=None, checkpoint=None, fast_gram=False, seed=None):
     """ABPG with gain adaption ("ABPG-g", the workhorse): per-iteration line
     search on the triangle-scaling gain G (optimistic divide by ls_dec, then
     multiply by ls_inc on failure), theta from solve_theta(theta_1, gamma,
@@ -838,8 +876,10 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:10.3e}  {7:10.3e}  {8:6.1f}".format(
             k, r["F"], r["theta"], r["Gain"], r["Gdiv"], r["dxy"], r["dzz"], r["Gavg"], t))
 
+    stoch = _stoch_carry(f, carry, seed, fast_gram)
     cfg = _ABPGGainCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
-                       restart=bool(restart), restart_rule=str(restart_rule))
+                       restart=bool(restart), restart_rule=str(restart_rule),
+                       stochastic=stoch)
     carry, hist, T = run_driver(step, carry, maxitrs,
                                 verbose=verbose, verbskip=verbskip,
                                 header=header, print_row=row, chunk=chunk,
@@ -855,6 +895,7 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
 
 class _ABDACfg(NamedTuple):
     theta_eq: bool
+    stochastic: bool = False
 
 
 def _abda_step(cfg, prob, c, k):
@@ -871,7 +912,8 @@ def _abda_step(cfg, prob, c, k):
         theta = gam / (kk.astype(dt) + gam)
 
     y = (1.0 - theta) * x + theta * z
-    g = f.grad(y)
+    key, sub = _oracle_key(cfg, c)
+    g = f.grad(y, key=sub) if sub is not None else f.grad(y)
     w = theta ** (1.0 - gam)
     gavg = c["gavg"] + w * g
     csum = c["csum"] + w
@@ -884,6 +926,8 @@ def _abda_step(cfg, prob, c, k):
 
     c2 = dict(done=c["done"], x=x_new, z=z_new, theta=theta, kk=kk + 1,
               gavg=gavg, csum=csum, F_prev=Fk)
+    if key is not None:
+        c2["key"] = key
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
@@ -936,7 +980,7 @@ def _abda_dopt_step(cfg, prob, c, k):
 
 def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
          verbose=True, verbskip=1, chunk=None, checkpoint=None,
-         fast_gram=False):
+         fast_gram=False, seed=None):
     """Accelerated Bregman Dual Averaging: accumulates the weighted gradient
     average and uses the *primal* prox_map (reference: algorithms.py:423-514;
     restart is intentionally unsupported, :445-446).
@@ -971,10 +1015,12 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
             k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
 
+    stoch = _stoch_carry(f, carry, seed, fast_gram)
     carry, hist, T = run_driver(step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_ABDACfg(theta_eq=bool(theta_eq)),
+                                cfg=_ABDACfg(theta_eq=bool(theta_eq),
+                                             stochastic=stoch),
                                 between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["G"], T

@@ -32,7 +32,7 @@ _LS_MAX = 64  # doubling line searches multiply L by 2^t; 2^64 is past overflow
 
 
 class _AIBMCfg(NamedTuple):
-    pass
+    stochastic: bool = False
 
 
 def _aibm_init_impl(prob, c):
@@ -83,30 +83,41 @@ def _aibm_step(cfg, prob, c, k):
         y, z, xi, A = c["y"], c["z"], c["xi"], c["A"]
         kf = k.astype(dt)
 
-        def trial(Lt, t):
+        def trial(Lt, t, tkey):
             alpha = (1.0 / Lt) * (1.0 + kf / (2.0 * p)) ** ((p - 1.0) * (gamma - 1.0))
             B = (Lt * alpha**gamma) ** (1.0 / (gamma - 1.0))
             r = alpha / B
             x_t = r * z + (1.0 - r) * y
-            fx_t, grad_x = f.value_and_grad(x_t)
+            if cfg.stochastic:
+                # stochastic f-oracle: fresh noise per gradient call, like
+                # the reference's global-RNG draws (functions.py:957-960)
+                tkey, osub = jax.random.split(tkey)
+                fx_t, grad_x = f.value_and_grad(x_t, key=osub)
+            else:
+                fx_t, grad_x = f.value_and_grad(x_t)
             xi_t = xi + alpha * grad_x
             z_k = h.prox_map(xi_t, one)
             w = r * z_k + (1.0 - r) * y
             fail = ~(f.value(w) <= fx_t + jnp.vdot(grad_x, w - x_t) + Lt * h.divergence(w, x_t) + delta)
             fail = fail & (t < _LS_MAX)
-            return dict(L=Lt, alpha=alpha, B=B, x=x_t, fx=fx_t, xi=xi_t,
-                        z_k=z_k, w=w, fail=fail, t=t)
+            out = dict(L=Lt, alpha=alpha, B=B, x=x_t, fx=fx_t, xi=xi_t,
+                       z_k=z_k, w=w, fail=fail, t=t)
+            if cfg.stochastic:
+                out["key"] = tkey
+            return out
 
-        s = trial(c["L"] / 2.0, 0)
+        s = trial(c["L"] / 2.0, 0, key if cfg.stochastic else None)
         s = lax.while_loop(lambda s: s["fail"],
-                           lambda s: trial(s["L"] * 2.0, s["t"] + 1), s)
+                           lambda s: trial(s["L"] * 2.0, s["t"] + 1,
+                                           s.get("key")), s)
 
         Fk = s["fx"] + h.extra_psi(s["x"])
         A_new = A + s["alpha"]
         y_new = (s["B"] / A_new) * s["w"] + (1.0 - s["B"] / A_new) * y
         stop = jnp.abs(Fk - c["F_prev"]) < 1e-9
-        c2 = dict(done=c["done"], key=key, x=s["x"], y=y_new, z=s["z_k"],
-                  L=s["L"], A=A_new, xi=s["xi"], F_prev=Fk)
+        c2 = dict(done=c["done"], key=s.get("key", key), x=s["x"],
+                  y=y_new, z=s["z_k"], L=s["L"], A=A_new, xi=s["xi"],
+                  F_prev=Fk)
         return c2, dict(F=Fk, G=jnp.asarray(0.0, dt), _stop=stop)
 
     return main(c)
@@ -149,7 +160,9 @@ def AIBM(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, verbose=True, noise=0,
                                 verbskip=verbskip, header=None,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_AIBMCfg(), k_start=1)
+                                cfg=_AIBMCfg(stochastic=bool(
+                                    getattr(f, "stochastic", False))),
+                                k_start=1)
     F = np.concatenate([[F0], hist["F"]])
     G = np.concatenate([[G0], hist["G"]])
     T = np.concatenate([[0.0], T])
@@ -163,6 +176,7 @@ def AIBM(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, verbose=True, noise=0,
 
 class _FGMCfg(NamedTuple):
     universal: bool
+    stochastic: bool = False
 
 
 def _fgm_step(cfg, prob, c, k):
@@ -182,11 +196,15 @@ def _fgm_step(cfg, prob, c, k):
     def main(c):
         x_k, u_k, A_k = c["x"], c["u"], c["A"]
 
-        def trial(Lt, t):
+        def trial(Lt, t, tkey):
             alpha = (1.0 + jnp.sqrt(1.0 + 4.0 * Lt * A_k)) / (2.0 * Lt)
             A = Lt * alpha**2
             y = (alpha * u_k + A_k * x_k) / A
-            g_y = f.grad(y)
+            if cfg.stochastic:
+                tkey, osub = jax.random.split(tkey)
+                g_y = f.grad(y, key=osub)
+            else:
+                g_y = f.grad(y)
             if cfg.universal:
                 g_y = g_y + nz
             u = h.div_prox_map(u_k, g_y * alpha, one)
@@ -199,16 +217,20 @@ def _fgm_step(cfg, prob, c, k):
                 slack = nz
             fail = ~(f.value(x) <= anchor + jnp.vdot(g_y, x - y) + Lt * h.divergence(x, y) + slack)
             fail = fail & (t < _LS_MAX)
-            return dict(L=Lt, A=A, u=u, x=x, fail=fail, t=t)
+            out = dict(L=Lt, A=A, u=u, x=x, fail=fail, t=t)
+            if cfg.stochastic:
+                out["key"] = tkey
+            return out
 
-        s = trial(c["L"] / 2.0, 0)
+        s = trial(c["L"] / 2.0, 0, key if cfg.stochastic else None)
         s = lax.while_loop(lambda s: s["fail"],
-                           lambda s: trial(s["L"] * 2.0, s["t"] + 1), s)
+                           lambda s: trial(s["L"] * 2.0, s["t"] + 1,
+                                           s.get("key")), s)
 
         Fk = f.value(s["x"]) + h.extra_psi(s["x"])
         stop = jnp.abs(Fk - c["F_prev"]) < eps
-        c2 = dict(done=c["done"], key=key, x=s["x"], u=s["u"], A=s["A"],
-                  L=s["L"], F_prev=Fk)
+        c2 = dict(done=c["done"], key=s.get("key", key), x=s["x"], u=s["u"],
+                  A=s["A"], L=s["L"], F_prev=Fk)
         return c2, dict(F=Fk, G=s["L"], _stop=stop)
 
     return main(c)
@@ -259,7 +281,10 @@ def _fgm_like(f, h, L, x0, maxitrs, epsilon, verbose, noise, verbskip, seed,
                                 verbskip=verbskip, header=None,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_FGMCfg(universal=bool(universal)),
+                                cfg=_FGMCfg(universal=bool(universal),
+                                            stochastic=bool(
+                                                getattr(f, "stochastic",
+                                                        False))),
                                 k_start=1)
     F = np.concatenate([[F0], hist["F"]])
     G = np.concatenate([[G0], hist["G"]])
@@ -361,7 +386,17 @@ def _pd_step(cfg, prob, c, k):
                     prod_sum=c["prod_sum"],
                     unprod_sum=c["unprod_sum"] + sz), jnp.asarray(0.0, dt)
 
-    c2, Lk = lax.cond(productive, prod_branch, unprod_branch, c)
+    # BOTH branches run and a per-leaf where selects: a lax.cond threading
+    # the x-sized carry materializes both branch results through the
+    # conditional every scan iteration (~60x on TPU for large carries, see
+    # CLAUDE.md); the unproductive branch is one cheap gradient step, so
+    # computing it unconditionally costs less than the cond's double
+    # materialization
+    c_prod, Lk_prod = prod_branch(c)
+    c_unprod, Lk_unprod = unprod_branch(c)
+    c2 = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(productive, a, b), c_prod, c_unprod)
+    Lk = jnp.where(productive, Lk_prod, Lk_unprod)
 
     lam = jnp.where((c2["prod_sum"] > 0) & (c2["unprod_sum"] > 0),
                     c2["unprod_sum"] / c2["prod_sum"],

@@ -25,19 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .bpg import _accept_delta, _oracle_key, _stoch_carry
 from .driver import run_driver
 
 _LS_MAX = 200
 
-
-
-def _accept_delta(f, scale):
-    """AIBM-style inexact-oracle allowance (see bpg._accept_delta): exactly
-    0.0 for oracles that do not declare accept_tol."""
-    tol = getattr(f, "accept_tol", 0.0)
-    if not tol:
-        return 0.0
-    return tol * (1.0 + jnp.abs(scale))
 
 def _gdp_banded(g, d, delta):
     """<g,d> with the reference's band-zeroing: values in (0, delta] -> 0."""
@@ -59,6 +51,7 @@ def _raise_if_bad(hist):
 class _FWDivCfg(NamedTuple):
     lmo: Any
     linesearch: bool
+    stochastic: bool = False
 
 
 def _fw_div_step(cfg, prob, c, k):
@@ -66,7 +59,9 @@ def _fw_div_step(cfg, prob, c, k):
     gamma, eps, delta = prob["gamma"], prob["eps"], prob["delta"]
     ls_ratio = prob["ls_ratio"]
     x, Lk = c["x"], c["L"]
-    fx, g = f.value_and_grad(x)
+    key, sub = _oracle_key(cfg, c)
+    fx, g = (f.value_and_grad(x, key=sub) if sub is not None
+             else f.value_and_grad(x))
     Fk = fx + h.extra_psi(x)
 
     s = cfg.lmo(g)
@@ -104,12 +99,14 @@ def _fw_div_step(cfg, prob, c, k):
 
     stop = ((k > 0) & (jnp.abs(Fk - c["F_prev"]) < eps)) | bad
     c2 = dict(done=c["done"], x=x_new, L=Lk, F_prev=Fk)
+    if key is not None:
+        c2["key"] = key
     return c2, dict(F=Fk, Ls=Lk, bad=bad, _stop=stop)
 
 
 def FW_alg_div_step(f, h, L, x0, maxitrs, gamma, lmo, epsilon=1e-14,
                     linesearch=True, ls_ratio=2, verbose=True, verbskip=1,
-                    chunk=None, checkpoint=None):
+                    chunk=None, checkpoint=None, seed=None):
     """Frank-Wolfe with Bregman divergence step size
 
         alpha_k = min( (-<g,d> / (2 L D_h(s,x)))^{1/(gamma-1)}, 1 )
@@ -137,11 +134,14 @@ def FW_alg_div_step(f, h, L, x0, maxitrs, gamma, lmo, epsilon=1e-14,
     def row(k, r, t):
         print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(k, r["F"], r["Ls"], t))
 
+    stoch = _stoch_carry(f, carry, seed)
     carry, hist, T = run_driver(_fw_div_step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_FWDivCfg(lmo=lmo, linesearch=bool(linesearch)))
+                                cfg=_FWDivCfg(lmo=lmo,
+                                              linesearch=bool(linesearch),
+                                              stochastic=stoch))
     _raise_if_bad(hist)
     return carry["x"], hist["F"], hist["Ls"], T
 
@@ -153,6 +153,7 @@ def FW_alg_div_step(f, h, L, x0, maxitrs, gamma, lmo, epsilon=1e-14,
 
 class _FWDescentCfg(NamedTuple):
     lmo: Any
+    stochastic: bool = False
 
 
 def _fw_descent_init_impl(prob, c):
@@ -176,15 +177,19 @@ def _fw_descent_step(cfg, prob, c, k):
     d = s - c["x"]
     alpha = 2.0 / (k.astype(dt) + 2.0)
     x = c["x"] + alpha * d
-    fx, g = f.value_and_grad(x)
+    key, sub = _oracle_key(cfg, c)
+    fx, g = (f.value_and_grad(x, key=sub) if sub is not None
+             else f.value_and_grad(x))
     Fk = fx + h.extra_psi(x)
     stop = (jnp.abs(Fk - c["F_prev"]) < eps) | (jnp.linalg.norm(g.ravel()) < eps)
     c2 = dict(done=c["done"], x=x, g=g, F_prev=Fk)
+    if key is not None:
+        c2["key"] = key
     return c2, dict(F=Fk, alpha=alpha, _stop=stop)
 
 
 def FW_alg_descent_step(f, h, x0, maxitrs, lmo, epsilon=1e-14, verbose=True,
-                        verbskip=1, chunk=None, checkpoint=None):
+                        verbskip=1, chunk=None, checkpoint=None, seed=None):
     """Classic Frank-Wolfe with the parameter-free step alpha_k = 2/(k+2)
     (reference: algorithms_fw.py:210-247).  Returns ``(x, F, T, G)`` — the
     reference's (unusual) return order, with G an all-zeros placeholder.
@@ -209,11 +214,13 @@ def FW_alg_descent_step(f, h, x0, maxitrs, lmo, epsilon=1e-14, verbose=True,
         print(header)  # the reference prints no k=0 row for this driver
     if maxitrs <= 1:
         return carry["x"], np.array([F0]), np.zeros(1), np.zeros(1)
+    stoch = _stoch_carry(f, carry, seed)
     carry, hist, T = run_driver(_fw_descent_step, carry, maxitrs,
                                 verbose=verbose, verbskip=verbskip,
                                 header=None, print_row=row, chunk=chunk,
                                 checkpoint=checkpoint, problem=prob,
-                                cfg=_FWDescentCfg(lmo=lmo), k_start=1)
+                                cfg=_FWDescentCfg(lmo=lmo, stochastic=stoch),
+                                k_start=1)
     F = np.concatenate([[F0], hist["F"]])
     T = np.concatenate([[0.0], T])
     G = np.zeros_like(F)

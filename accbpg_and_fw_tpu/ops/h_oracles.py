@@ -94,10 +94,15 @@ class BurgEntropyL2(BurgEntropy):
         return (self.lamda / 2.0) * jnp.vdot(x, x)
 
     def prox_map(self, g, L):
-        # x solves lamda*x^2 + g*x - L = 0 per coordinate (positive root)
+        # x solves lamda*x^2 + g*x - L = 0 per coordinate (positive root);
+        # at lamda == 0 the quadratic degenerates and the closed form is
+        # 0/0 — take the linear-equation limit x = L/g (= 1/gg) instead of
+        # poisoning the iterate with NaN
         gg = g / L
         lamda_L = self.lamda / L
-        return (jnp.sqrt(gg * gg + 4.0 * lamda_L) - gg) / (2.0 * lamda_L)
+        safe = jnp.where(lamda_L == 0, 1.0, lamda_L)
+        root = (jnp.sqrt(gg * gg + 4.0 * safe) - gg) / (2.0 * safe)
+        return jnp.where(lamda_L == 0, 1.0 / gg, root)
 
 
 @pytree_dataclass
@@ -231,8 +236,14 @@ class ShannonEntropySimplex(ShannonEntropy):
         return jax.nn.softmax(-g / L)
 
     def div_prox_map(self, y, g, L):
-        # x propto y * exp(-g/L), normalized to the simplex
-        logits = jnp.log(jnp.maximum(y, self.delta)) - g / L
+        # x propto y * exp(-g/L), normalized to the simplex.  Exactly-zero
+        # coordinates of y must STAY exactly zero (the reference's
+        # y*exp(-g/L)/sum keeps them at 0 — the absorbing state of entropic
+        # mirror descent; a plain delta floor would revive them with mass
+        # ~delta*exp(-g_i/L)).  -inf logits give softmax mass exactly 0.
+        logits = jnp.where(y > 0,
+                           jnp.log(jnp.maximum(y, self.delta)) - g / L,
+                           -jnp.inf)
         return jax.nn.softmax(logits)
 
 
@@ -358,9 +369,12 @@ class SumOf2nd4thPowersDualProxMap(SumOf2nd4thPowers):
 
         def cond(state):
             X, lam, it, gap = state
+            # the reference only breaks on a gap computed at its i >= 1
+            # (functions.py:693: ``if i > 0 and gap < tolerance``), so the
+            # first body's gap (it == 1 here) must not exit the loop
             return jnp.logical_and(
                 it < self.num_iters,
-                jnp.logical_or(it == 0, gap >= self.tolerance),
+                jnp.logical_or(it <= 1, gap >= self.tolerance),
             )
 
         def body(state):
