@@ -801,21 +801,15 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
 
 
 def _dopt_state_refresh(f, with_z=True):
-    """between_chunks hook: recontract the carried Grams and logdet from
-    the exact iterates so combination/series roundoff cannot accumulate
-    past one chunk (~1e-16/step worst-case drift)."""
+    """between_chunks hook: jitted recontraction of the carried fast-Gram
+    state (see ``fastgram.refresh_state`` for why it must be jitted)."""
 
     def refresh(carry, k_next):
         # colocate the oracle with the carry: the driver may have routed
         # execution to another device (auto-CPU fallback / solver_device)
         dev = next(iter(carry["x"].devices()))
         fl = jax.device_put(f, dev)
-        Gx = fl.gram(carry["x"])
-        out = {**carry, "Gx": Gx, "fx": -fl.logdet_full(Gx),
-               "Minv": _fg.schulz(fl.inv_seed(Gx), Gx)}
-        if with_z:
-            out["Gz"] = fl.gram(carry["z"])
-        return out
+        return _fg.refresh_state(fl, carry, with_z=with_z)
 
     return refresh
 

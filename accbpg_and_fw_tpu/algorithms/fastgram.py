@@ -21,6 +21,9 @@ Oracles opt in by exposing the protocol ``gram`` / ``logdet_full`` /
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -120,8 +123,32 @@ def anchored_logdet(f, ld_anchor, sign, M, G_series, G_target):
                                  G_target)[0]
 
 
+@jax.jit
 def init_state(f, x0):
-    """Eager (pre-scan) Gram / inverse / logdet at the starting point."""
+    """Pre-scan Gram / inverse / logdet at the starting point.
+
+    Jitted (module-level cache): called eagerly, the ``lax.cond`` inside
+    the mixed oracle's factorization closes over CONCRETE arrays, so every
+    call builds a fresh jaxpr and compiles a fresh ``jit(cond)``
+    executable.  On TPU each of those is a remote compile (seconds) —
+    measured 297 s for a 9000-iteration BPG fast_gram solve whose refresh
+    paid 2 such compiles per chunk.  Under jit the cond compiles once per
+    (oracle-structure, shape) and is cached for the whole process.
+    """
     G0 = f.gram(x0)
     return dict(G0=G0, M0=schulz(f.inv_seed(G0), G0),
                 ld0=f.logdet_full(G0))
+
+
+@functools.partial(jax.jit, static_argnames=("with_z",))
+def refresh_state(f, carry, with_z=True):
+    """between_chunks recontraction of the carried Grams / inverse /
+    logdet from the exact iterates, so combination/series roundoff cannot
+    accumulate past one chunk (~1e-16/step worst-case drift).  Jitted for
+    the same per-call-recompile reason as ``init_state``."""
+    Gx = f.gram(carry["x"])
+    out = {**carry, "Gx": Gx, "fx": -f.logdet_full(Gx),
+           "Minv": schulz(f.inv_seed(Gx), Gx)}
+    if with_z:
+        out["Gz"] = f.gram(carry["z"])
+    return out
