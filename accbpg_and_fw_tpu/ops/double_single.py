@@ -304,5 +304,133 @@ def lt(x, y):
     return (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] < y[1]))
 
 
+def le(x, y):
+    """DS <= DS (NaN operands compare False, like IEEE)."""
+    return (x[0] < y[0]) | ((x[0] == y[0]) & (x[1] <= y[1]))
+
+
+def abs_(x):
+    """|DS| (sign decided by the hi plane; at hi == 0 lo is the value)."""
+    neg_mask = (x[0] < 0) | ((x[0] == 0) & (x[1] < 0))
+    return where(neg_mask, neg(x), x)
+
+
 def index(x, i):
     return x[0][i], x[1][i]
+
+
+def dot(a, b, sloppy=True):
+    """DS inner product of two DS 1-D vectors (driver acceptance tests)."""
+    return sum_along(mul(a, b), 0, sloppy=sloppy)
+
+
+def int32_to_ds(a):
+    """Exact int32 -> DS conversion (|a| < 2^31).
+
+    ``hi = fl(a)`` rounds to 24 bits; the residual ``a - int(hi)`` fits in
+    ~7 bits at this magnitude and converts exactly.  Used by the DS Ozaki
+    combines (mixed_precision.ozaki_gram_ds): int32 digit-diagonal
+    accumulators routinely exceed the 2^24 exact-f32 range."""
+    hi = a.astype(jnp.float32)
+    lo = (a - hi.astype(jnp.int32)).astype(jnp.float32)
+    return hi, lo
+
+
+# -- DS transcendentals -------------------------------------------------------
+#
+# Classic double-double recipes (QD library): exp by argument reduction +
+# Taylor with DS coefficients, log/sqrt by Newton refinement of the f32
+# seed (one Newton step squares the seed's ~1e-7 relative error).  All
+# constants are precomputed in HOST numpy (hi/lo literal f32 pairs), so no
+# DS arithmetic between jit-time constants exists for XLA's constant
+# folder to rewrite (see the module HAZARD note).
+
+import math as _math
+
+import numpy as _np
+
+def _const_ds(v):
+    hi = _np.float32(v)
+    lo = _np.float32(_np.float64(v) - _np.float64(hi))
+    return float(hi), float(lo)
+
+
+_LN2 = _const_ds(0.6931471805599453094172321)
+_EXP_TERMS = 14
+_INV_FACT = [_const_ds(1.0 / _math.factorial(k))
+             for k in range(2, _EXP_TERMS + 1)]
+
+
+def exp(x):
+    """DS exp (elementwise).  Accurate to ~2^-48 relative for |x| <~ 85.
+
+    Argument reduction x = k*ln2 + r, |r| <= ln2/2; 14-term Taylor in DS
+    (remainder (ln2/2)^15/15! ~ 1e-19); exact 2^k scaling."""
+    k = jnp.round(x[0] / jnp.float32(_LN2[0]))
+    kl = mul_f32((jnp.full_like(x[0], _LN2[0]),
+                  jnp.full_like(x[0], _LN2[1])), k)
+    r = sub(x, kl)
+    # Horner with DS 1/j! coefficients
+    p = (jnp.full_like(r[0], _INV_FACT[-1][0]),
+         jnp.full_like(r[0], _INV_FACT[-1][1]))
+    for c in reversed(_INV_FACT[:-1]):
+        p = add(mul(p, r), (jnp.full_like(r[0], c[0]),
+                            jnp.full_like(r[0], c[1])))
+    p = add(mul(p, r), from_f32(jnp.ones_like(r[0])))  # 1 + r*(...)
+    p = add(mul(p, r), from_f32(jnp.ones_like(r[0])))
+    s = jnp.exp2(k)  # power of two: exact f32 scale
+    return p[0] * s, p[1] * s
+
+
+def log(x, newton_steps=2):
+    """DS natural log (elementwise, x > 0).
+
+    f32 seed + Newton y <- y + (x*exp(-y) - 1); each step squares the
+    error (~1e-7 seed -> ~1e-14 after one step; 2 steps land at the DS
+    noise floor)."""
+    y = from_f32(jnp.log(x[0]))
+    for _ in range(newton_steps):
+        e = add_f32(mul(x, exp(neg(y))), jnp.float32(-1.0))
+        y = add(y, e)
+    return y
+
+
+def sqrt(x):
+    """DS square root (elementwise, x >= 0): f32 seed + one DS Newton
+    step  y <- y + (x - y^2) / (2 y)  (error squares: ~1e-7 -> ~1e-14)."""
+    y0 = jnp.sqrt(x[0])
+    d = sub(x, sq(from_f32(y0)))
+    inv2y = jnp.float32(0.5) / y0
+    y = add_f32(mul_f32(d, inv2y), y0)
+    # renormalize via quick_two_sum for a clean (hi, lo) pair
+    return quick_two_sum(y[0], y[1])
+
+
+_LOG1P_TERMS = 14
+
+
+def half_sq_log_term(delta):
+    """``(1 + delta) - log(1 + delta) - 1 = delta - log1p(delta)`` with full
+    DS RELATIVE accuracy near delta = 0 (elementwise).
+
+    This is the pointwise Burg/Shannon divergence kernel: the direct form
+    ``r - log(r) - 1`` catastrophically cancels for r near 1 (the result is
+    ~delta^2/2), so for |delta| < 0.05 we evaluate the series
+    ``delta^2 * sum_{j>=0} (-delta)^j / (j+2)`` in DS (j <= 12 puts the
+    truncation below 2^-49 of the leading term); the direct DS form covers
+    the rest."""
+    small = jnp.abs(delta[0]) < jnp.float32(0.05)
+    # series branch (evaluated everywhere; cheap elementwise)
+    c = _const_ds(1.0 / (_LOG1P_TERMS + 2))
+    p = (jnp.full_like(delta[0], c[0]), jnp.full_like(delta[0], c[1]))
+    for j in range(_LOG1P_TERMS - 1, -1, -1):
+        c = _const_ds(1.0 / (j + 2))
+        p = add(mul(p, neg(delta)), (jnp.full_like(delta[0], c[0]),
+                                     jnp.full_like(delta[0], c[1])))
+    series = mul(sq(delta), p)
+    # direct branch: delta - log(1 + delta); guard the log against the
+    # series-domain deltas only (the branch is discarded there anyway)
+    delta_big = where(small, from_f32(jnp.ones_like(delta[0])), delta)
+    r = add_f32(delta_big, jnp.float32(1.0))
+    direct = sub(delta_big, log(r, newton_steps=1))
+    return where(small, series, direct)

@@ -291,6 +291,166 @@ class DOptimalObjMixed(SmoothOracle):
 
 
 @pytree_dataclass
+class DOptimalObjDS(SmoothOracle):
+    """``DOptimalObj`` in DOUBLE-SINGLE (two-f32) arithmetic: f64-grade
+    oracle answers from pure f32/int8 TPU hardware ops — no
+    ``jax_enable_x64``, no emulated-f64 ANYWHERE (the ``DOptimalObjMixed``
+    oracle still pays emulated-f64 elementwise combines and logs).
+
+    Exposes the DS fast-Gram protocol consumed by the ``fast_gram="ds"``
+    driver steps (algorithms/bpg.py): every multi-plane value is a DS
+    ``(hi, lo)`` f32 pair,
+
+    * ``gram_ds``: W = V diag(x) in DS, digit-split in f32
+      (``digit_split_rows_ds``), ONE int8 MXU contraction with exact int32
+      accumulation, DS combine (``ozaki_gram_ds``) — relative ~1e-13;
+    * ``logdet_full_ds``: exact power-of-two Jacobi equilibration, f32
+      Cholesky + DS trace-series correction under a residual gate, DS
+      column-Cholesky (ds_linalg) as the ill-conditioned fallback;
+    * ``inv_seed32``: f32 equilibrated Cholesky solve (callers Schulz-polish
+      to DS grade, fastgram.inv_pair_ds);
+    * ``grad_from_inv_ds``: M @ V as an int8 Ozaki GEMM with DS combine,
+      then the column dot with V in DS elementwise.
+
+    Reference semantics: functions.py:27-82 (same f, gradient, Gram);
+    target workload: the accelerated-family benchmarks of
+    ipynb/ABPGvsFW/ex_Dopt_ABPGvsFW.ipynb cells 3/5 at f64-grade accuracy
+    WITHOUT x64 (BASELINE.md round-3 rows).
+    """
+
+    Vh: Any = None         # (m, n) f32 DS planes of the design matrix
+    Vl: Any = None
+    Vd_rows: Any = None    # (levels, m, n) int8, per-row scales (Gram side)
+    sV_rows: Any = None    # (m, 1) f32 powers of two
+    V_packed: Any = None   # (m, levels*n) int8, per-column scales (MV side)
+    sV_cols: Any = None    # (n,) f32 powers of two
+    levels: int = static_field(default=7)
+    max_diag: int = static_field(default=6)
+
+    @classmethod
+    def from_design(cls, H, levels: int = 7, max_diag: int = 6):
+        """Build from a HOST f64 design (numpy) — the hi/lo split happens
+        in numpy so no x64 flag is needed (double_single.from_f64)."""
+        import numpy as np
+
+        from . import double_single as dsl
+        from . import mixed_precision as mp
+
+        H64 = np.asarray(H, np.float64)
+        hi, lo = dsl.from_f64(H64)
+        dr, sr = mp.digit_split_rows_ds(hi, lo, levels)
+        dc, sc = mp.digit_split_matrix_ds(hi, lo, levels)
+        return cls(Vh=hi, Vl=lo, Vd_rows=dr, sV_rows=sr,
+                   V_packed=mp.pack_digit_planes(dc), sV_cols=sc,
+                   levels=levels, max_diag=max_diag)
+
+    @property
+    def m(self):
+        return self.Vh.shape[0]
+
+    @property
+    def n(self):
+        return self.Vh.shape[1]
+
+    # plain-oracle interface on f32 inputs (diagnostics / init only — the
+    # DS drivers never call these in the hot loop)
+    def value(self, x, key=None):
+        G = self.gram_ds((x, jnp.zeros_like(x)) if not isinstance(x, tuple)
+                         else x)
+        ld = self.logdet_full_ds(G)
+        return -(ld[0] + ld[1])
+
+    def value_and_grad(self, x, key=None):
+        raise NotImplementedError(
+            "DOptimalObjDS is a fast-gram-protocol oracle; use it with "
+            "fast_gram='ds' drivers (BPG/ABPG/ABPG_gain/...)")
+
+    # -- DS fast-Gram protocol ------------------------------------------------
+
+    def gram_ds(self, x):
+        from . import double_single as dsl
+        from . import mixed_precision as mp
+
+        Wh, Wl = dsl.mul((self.Vh, self.Vl), (x[0][None, :], x[1][None, :]))
+        dW, sW = mp.digit_split_rows_ds(Wh, Wl, self.levels)
+        return mp.ozaki_gram_ds(self.Vd_rows, self.sV_rows, dW, sW,
+                                max_diag=self.max_diag)
+
+    # residual gate for the f32-Cholesky logdet correction and inverse
+    # seed (see DOptimalObjMixed._E_GATE2 — same analysis, f32 planes)
+    _E_GATE2 = 1e-8
+
+    def _equilibrated(self, G):
+        """EXACT power-of-two Jacobi scaling: d_i = 2^round(log2 sqrt G_ii),
+        Gs = D^-1 G D^-1 computed by exact f32 scalings of both planes;
+        logdet(G) = logdet(Gs) + 2 sum log d_i with each log d_i = k_i ln2
+        exact in DS."""
+        from . import double_single as dsl
+
+        d = jnp.exp2(jnp.round(0.5 * jnp.log2(jnp.diagonal(G[0]))))
+        inv = 1.0 / d  # power of two: exact
+        scale = inv[:, None] * inv[None, :]
+        Gs = (G[0] * scale, G[1] * scale)
+        # 2*sum log d = 2*ln2 * sum k, k integer-valued f32
+        ksum = jnp.sum(jnp.log2(d))
+        ln2 = (jnp.float32(dsl._LN2[0]), jnp.float32(dsl._LN2[1]))
+        logdet_d2 = dsl.mul_f32(ln2, 2.0 * ksum)
+        return Gs, d, logdet_d2
+
+    def logdet_full_ds(self, G):
+        """DS logdet of a DS Gram (anchor/fallback path, not per-trial)."""
+        from . import double_single as dsl
+        from . import ds_linalg as dl
+
+        Gs, d, ld_d2 = self._equilibrated(G)
+        R32 = jnp.linalg.cholesky(Gs[0])
+        # delta = Gs - R R^T exactly (DS); E = R^-1 delta R^-T in f32
+        RRT = dl.mm_f32_f32(R32, R32.T)
+        delta = dsl.sub(Gs, RRT)
+        Y = solve_triangular(R32, delta[0] + delta[1], lower=True)
+        E = solve_triangular(R32, Y.T, lower=True).T
+        En2 = jnp.sum(E * E)
+        ok = jnp.isfinite(En2) & (En2 <= self._E_GATE2)
+
+        def fast():
+            ld_r = dsl.mul_f32(
+                dsl.sum_along(dsl.log(dsl.from_f32(jnp.diagonal(R32))), 0),
+                jnp.float32(2.0))
+            # logdet(I + E) = tr E - tr E^2/2 + tr E^3/3 (E ~ <= 1e-4
+            # under the gate; quartic term <= m*1e-16)
+            E2 = E @ E
+            corr = (jnp.trace(E) - 0.5 * jnp.trace(E2)
+                    + jnp.trace(E2 @ E) / 3.0)
+            return dsl.add_f32(ld_r, corr)
+
+        def exact():
+            return dl.logdet_chol(dl.cholesky(Gs))
+
+        ld_s = jax.lax.cond(ok, fast, exact)
+        return dsl.add(ld_s, ld_d2)
+
+    def inv_seed32(self, G):
+        """f32 inverse seed of the DS Gram for the caller's Schulz polish
+        (error ~eps_f32 * cond; fastgram.inv_pair_ds lifts it to DS)."""
+        Gs, d, _ = self._equilibrated(G)
+        R32 = jnp.linalg.cholesky(Gs[0])
+        M = cho_solve((R32, True), jnp.eye(self.m, dtype=jnp.float32))
+        inv = 1.0 / d
+        return M * (inv[:, None] * inv[None, :])
+
+    def grad_from_inv_ds(self, M):
+        from . import double_single as dsl
+        from . import mixed_precision as mp
+
+        MV = mp.ozaki_mm_ds(M[0], M[1], self.V_packed, self.sV_cols,
+                            self.levels, levels_m=self.levels,
+                            max_diag=self.max_diag)
+        g = dsl.sum_along(dsl.mul((self.Vh, self.Vl), MV), axis=0,
+                          sloppy=True)
+        return dsl.neg(g)
+
+
+@pytree_dataclass
 class PoissonRegression(SmoothOracle):
     """f(x) = D_KL(b, Ax) for the linear inverse problem Ax ~ b
     (reference: functions.py:85-120)."""

@@ -191,6 +191,99 @@ def digit_split_rows_ds(Wh, Wl, levels: int):
     return jnp.stack(planes), s
 
 
+def digit_split_matrix_ds(Bh, Bl, levels: int):
+    """``digit_split_matrix`` (per-COLUMN scales) for a double-single input
+    — pure f32 arithmetic, same exactness argument as
+    ``digit_split_rows_ds``.  Returns (digits[levels, m, n], s[n])."""
+    from . import double_single as _ds
+
+    s = 2.0 ** jnp.ceil(jnp.log2(jnp.max(jnp.abs(Bh), axis=0) + 1e-30))
+    rh = Bh / s
+    rl = Bl / s
+    planes = []
+    for _ in range(levels):
+        d = jnp.round(rh * BASE)
+        planes.append(d.astype(jnp.int8))
+        nh = rh * BASE - d
+        rh, rl = _ds.two_sum(nh, rl * BASE)
+    return jnp.stack(planes), s
+
+
+def ozaki_gram_ds(dA, sA, dW, sW, max_diag: int | None = None):
+    """``ozaki_gram`` with a DOUBLE-SINGLE combine: G = A @ W^T as a DS
+    (hi, lo) pair from pure f32/int8 arithmetic — no ``jax_enable_x64``.
+
+    The int8 MXU contraction and diagonal grouping are identical to
+    ``ozaki_gram``; each int32 diagonal converts EXACTLY to DS
+    (``double_single.int32_to_ds`` — the accumulators exceed the 2^24
+    exact-f32 range at n >= ~4096) and accumulates through DS adds with
+    exact power-of-two scalings.  Relative accuracy ~BASE**-(max_diag+1)
+    (~1e-13 at the default 7x7/6 split), measured against f64 in
+    tests/test_ds_fastgram.py."""
+    from . import double_single as _ds
+
+    La, m, n = dA.shape
+    Lw = dW.shape[0]
+    if max_diag is None:
+        max_diag = La + Lw - 2
+    P = lax.dot_general(
+        dA.reshape(La * m, n), dW.reshape(Lw * m, n),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(La, m, Lw, m)
+    G = _ds.from_f32(jnp.zeros((m, m), jnp.float32))
+    for d in range(min(max_diag, La + Lw - 2) + 1):
+        acc = None
+        for p in range(max(0, d - Lw + 1), min(d, La - 1) + 1):
+            t = P[p, :, d - p, :]
+            acc = t if acc is None else acc + t
+        term = _ds.int32_to_ds(acc)
+        scale = jnp.float32(BASE ** -(d + 2))  # power of two: exact
+        G = _ds.add(G, (term[0] * scale, term[1] * scale))
+    s = sA * sW.T  # product of powers of two: exact
+    return G[0] * s, G[1] * s
+
+
+def ozaki_mm_ds(Mh, Ml, B_packed, sB, levels_b: int, levels_m: int = 7,
+                max_diag: int | None = None):
+    """``ozaki_mm`` for a DOUBLE-SINGLE small matrix M against a
+    digit-packed B, with a DS combine — P = M @ B as (hi, lo) f32 planes.
+
+    M's digit planes come from the pure-f32 ``digit_split_rows_ds``;
+    leading diagonals accumulate in DS (their f32 rounding would be ~1e-7
+    relative), the geometrically-vanishing tail (scale <= BASE^-5 of the
+    result) in plain f32 — same argument as ``ozaki_gemv_packed``."""
+    from . import double_single as _ds
+
+    m = Mh.shape[0]
+    n = B_packed.shape[1] // levels_b
+    if max_diag is None:
+        max_diag = levels_m + levels_b - 2
+    dM, sM = digit_split_rows_ds(Mh, Ml, levels_m)
+    P = lax.dot_general(
+        dM.reshape(levels_m * m, m), B_packed,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(levels_m, m, levels_b, n)
+    out = _ds.from_f32(jnp.zeros((m, n), jnp.float32))
+    tail = jnp.zeros((m, n), jnp.float32)
+    for d in range(min(max_diag, levels_m + levels_b - 2) + 1):
+        acc = None
+        for p in range(max(0, d - levels_b + 1), min(d, levels_m - 1) + 1):
+            t = P[p, :, d - p, :]
+            acc = t if acc is None else acc + t
+        if d < 3:
+            term = _ds.int32_to_ds(acc)
+            scale = jnp.float32(BASE ** -(d + 2))
+            out = _ds.add(out, (term[0] * scale, term[1] * scale))
+        else:
+            tail = tail + acc.astype(jnp.float32) * jnp.float32(
+                BASE ** -(d + 2))
+    out = _ds.add(out, _ds.from_f32(tail))
+    s = sM * sB
+    return out[0] * s, out[1] * s
+
+
 def ozaki_gram(dA, sA, dW, sW, max_diag: int | None = None):
     """G = A @ W^T with A == (digits dA, row scales sA), W == (dW, sW).
 

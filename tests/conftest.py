@@ -11,7 +11,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env selects the TPU plugin
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_use_fusion_emitters" not in flags:
+    # XLA:CPU's fusion emitters MISCOMPILE the double-single transcendental
+    # + pairwise-reduction kernels (ds.exp/log feeding sum_along) into an
+    # INFINITE EXECUTION LOOP — compile succeeds in ~0.5 s, then the first
+    # execute spins one thread forever (root-caused 2026-08-19: minimal
+    # repro is jit(sum_along(ds.exp(x))) at n=32; exp alone and the fold
+    # alone are fine; --xla_cpu_use_fusion_emitters=false runs the same
+    # graph correctly).  The legacy emitter path is correct and fast
+    # enough for tests.
+    flags = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
