@@ -23,9 +23,52 @@ from jax import lax
 
 from . import fastgram as _fg
 from .driver import run_driver
-from .theta import solve_theta
+from .theta import solve_theta, solve_theta_ds
 
 _LS_MAX = 200  # safety bound; backtracking terminates long before this
+
+
+# -- double-single carry plumbing (fast_gram="ds") ---------------------------
+#
+# DS values are (hi, lo) f32 pairs; the DRIVER carry must stay a flat dict
+# of plain arrays (checkpointing and device routing iterate its items), so
+# each DS quantity occupies two keys "<name>__hi"/"<name>__lo".  Inside a
+# step the pairs travel as tuples (while_loop states may nest freely).
+
+
+def _dsg(c, name):
+    return (c[name + "__hi"], c[name + "__lo"])
+
+
+def _dsp(d, name, v):
+    d[name + "__hi"], d[name + "__lo"] = v
+    return d
+
+
+def _ds_bc(s, like):
+    """Broadcast a DS scalar against a DS array's shape."""
+    return (jnp.broadcast_to(s[0], like[0].shape),
+            jnp.broadcast_to(s[1], like[1].shape))
+
+
+def _ds_combine(a, wa, b, wb):
+    """(wa * a + wb * b) for DS arrays a, b and DS scalars wa, wb — the
+    convex-combination workhorse of the accelerated DS steps."""
+    from ..ops import double_single as dsl
+
+    return dsl.add(dsl.mul(a, _ds_bc(wa, a)), dsl.mul(b, _ds_bc(wb, b)))
+
+
+def _as_ds(x0):
+    """Host-split an initial iterate into a DS pair (numpy f64 exact; jnp
+    f32 arrays get a zero lo plane; traced f64 needs x64 like from_f64)."""
+    import numpy as np
+
+    from ..ops import double_single as dsl
+
+    if isinstance(x0, jax.Array) and x0.dtype == jnp.float32:
+        return dsl.from_f32(x0)
+    return dsl.from_f64(np.asarray(x0, np.float64))
 
 
 def _tree_where(pred, a, b):
@@ -199,6 +242,111 @@ def _bpg_dopt_step(cfg, prob, c, k):
     return c2, dict(F=Fk, Ls=Lk, _stop=stop)
 
 
+def _bpg_dopt_step_ds(cfg, prob, c, k):
+    """BPG line-search step, DOUBLE-SINGLE engine (fast_gram="ds").
+
+    The same stateful linear-Gram iteration as ``_bpg_dopt_step`` with
+    every trajectory-bearing quantity a DS (two-f32) pair: f64-GRADE
+    arithmetic from pure f32/int8 TPU ops — no jax_enable_x64, no emulated
+    f64 (the mixed oracle's remaining cost).  Gradient from a DS-polished
+    Schulz inverse, one int8-Ozaki DS Gram per line-search trial,
+    acceptance on the DS trace-series logdet SHIFT (exact to ~1e-13), DS
+    Burg-simplex prox with the carried DS multiplier.  h.extra_psi is
+    identically 0 on the Burg simplex, so F == f(x).
+    """
+    from ..ops import double_single as dsl
+
+    f, h = prob["f"], prob["h"]
+    x = _dsg(c, "x")
+    L = _dsg(c, "L")
+    Gx = _dsg(c, "Gx")
+    fx = _dsg(c, "fx")
+    cpx = _dsg(c, "cpx")
+    M32, Mds = _fg.inv_pair_ds(f, Gx, c["Minv"])
+    g = f.grad_from_inv_ds(Mds)
+    Fk = fx
+    ld_x = dsl.neg(fx)
+    dF = dsl.sub(Fk, _dsg(c, "F_prev"))
+    stop = (k > 0) & (jnp.abs(dF[0] + dF[1]) < prob["eps"])
+
+    # inexact-oracle acceptance allowance at the declared DS noise scale
+    # (see _accept_delta / DOptimalObjDS.accept_tol)
+    delta = jnp.float32(getattr(f, "accept_tol", 0.0)) * (
+        1.0 + jnp.abs(fx[0]))
+
+    def trial(Lt):
+        x1, cp1 = h.div_prox_map_ds_warm(x, g, Lt, cpx)
+        G1 = f.gram_ds(x1)
+        ld1, s1 = _fg.anchored_logdet_shift_ds(f, ld_x, 1.0, Mds, G1, G1)
+        rhs = dsl.add_f32(
+            dsl.add(dsl.dot(g, dsl.sub(x1, x)),
+                    dsl.mul(Lt, h.divergence_ds(x1, x))), delta)
+        # NaN-robust: ~(lhs <= rhs) — DS compares are False on NaN planes
+        fail = ~dsl.le(dsl.neg(s1), rhs)
+        return x1, G1, dsl.neg(ld1), cp1, fail
+
+    if cfg.linesearch:
+        lsr = _dsg(prob, "ls_ratio")
+        L1 = dsl.div(L, lsr)
+        x1, G1, f1, cp1, fail = trial(L1)
+
+        def cond(s):
+            return s[5] & (s[6] < _LS_MAX)
+
+        def body(s):
+            Lt = dsl.mul(s[0], lsr)
+            x1t, G1t, f1t, cpt, failt = trial(Lt)
+            return (Lt, x1t, G1t, f1t, cpt, failt, s[6] + 1)
+
+        Lk, x_new, G_new, fx_new, cp_new, _, _ = lax.while_loop(
+            cond, body, (L1, x1, G1, f1, cp1, fail, 0))
+    else:
+        x_new, G_new, fx_new, cp_new, _ = trial(L)
+        Lk = L
+
+    c2 = dict(done=c["done"], Minv=M32)
+    _dsp(c2, "x", x_new)
+    _dsp(c2, "L", Lk)
+    _dsp(c2, "F_prev", Fk)
+    _dsp(c2, "Gx", G_new)
+    _dsp(c2, "fx", fx_new)
+    _dsp(c2, "cpx", cp_new)
+    return c2, dict(F=Fk[0], F_lo=Fk[1], Ls=Lk[0], _stop=stop)
+
+
+def _dopt_state_refresh_ds(f, with_z=True):
+    """between_chunks hook for the DS engine: recontract Grams / inverse /
+    anchor logdet from the exact DS iterates (see fastgram.refresh_state_ds)."""
+
+    def refresh(carry, k_next):
+        dev = next(iter(carry["x__hi"].devices()))
+        fl = jax.device_put(f, dev)
+        x = (carry["x__hi"], carry["x__lo"])
+        z = (carry["z__hi"], carry["z__lo"]) if with_z else x
+        upd = _fg.refresh_state_ds(fl, x, z, with_z=with_z)
+        out = dict(carry)
+        _dsp(out, "Gx", upd["Gx"])
+        _dsp(out, "fx", upd["fx"])
+        out["Minv"] = upd["Minv"]
+        if with_z:
+            _dsp(out, "Gz", upd["Gz"])
+        return out
+
+    return refresh
+
+
+def _ds_wrap_returns(carry, hist):
+    """Final DS -> f64 combination on HOST numpy (no x64 needed): the
+    returned iterate and F history carry the full ~49-bit value."""
+    import numpy as np
+
+    x = (np.asarray(carry["x__hi"], np.float64)
+         + np.asarray(carry["x__lo"], np.float64))
+    F = (np.asarray(hist["F"], np.float64)
+         + np.asarray(hist["F_lo"], np.float64))
+    return x, F
+
+
 def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
         verbose=True, verbskip=1, chunk=None, checkpoint=None,
         fast_gram=False, seed=None):
@@ -212,7 +360,43 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
     ``fast_gram=True``: stateful linear-Gram step for D-opt oracles
     (see ``ABPG_gain``): one Gram per line-search trial, matmul-only
     inverse, trace-series log-dets.
+
+    ``fast_gram="ds"``: the same engine in DOUBLE-SINGLE (two-f32)
+    arithmetic — f64-grade trajectories from pure f32/int8 TPU ops, no
+    ``jax_enable_x64`` (oracle: ``DOptimalObjDS.from_design(H)``, h:
+    ``BurgEntropySimplex``).  Returns host-f64 ``x`` and ``F``.
     """
+    if fast_gram == "ds":
+        from ..ops import double_single as dsl
+
+        _fg.require_fast_gram_ds(f, h)
+        x0_ds = _as_ds(x0)
+        st = _fg.init_state_ds(f, x0_ds)
+        carry = dict(done=jnp.asarray(False), Minv=st["M0"])
+        _dsp(carry, "x", x0_ds)
+        _dsp(carry, "L", dsl.from_f64(float(L)))
+        _dsp(carry, "F_prev", dsl.from_f32(jnp.asarray(jnp.inf, jnp.float32)))
+        _dsp(carry, "Gx", st["G0"])
+        _dsp(carry, "fx", dsl.neg(st["ld0"]))
+        _dsp(carry, "cpx", dsl.from_f32(jnp.asarray(-jnp.inf, jnp.float32)))
+        prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, jnp.float32))
+        _dsp(prob, "ls_ratio", dsl.from_f64(float(ls_ratio)))
+        header = ("\nBPG_LS method for min_{x in C} F(x) = f(x) + Psi(x)\n"
+                  "     k      F(x)         Lk       time")
+
+        def row(k, r, t):
+            print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:6.1f}".format(
+                k, r["F"], r["Ls"], t))
+
+        carry, hist, T = run_driver(
+            _bpg_dopt_step_ds, carry, maxitrs, verbose=verbose,
+            verbskip=verbskip, header=header, print_row=row, chunk=chunk,
+            checkpoint=checkpoint, problem=prob,
+            cfg=_BPGCfg(linesearch=bool(linesearch)),
+            between_chunks=_dopt_state_refresh_ds(f, with_z=False))
+        x, F = _ds_wrap_returns(carry, hist)
+        return x, F, hist["Ls"], T
+
     x0 = jnp.asarray(x0)
     dt = x0.dtype
     prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, dt),
@@ -800,6 +984,125 @@ def _abpg_gain_dopt_step(cfg, prob, c, k):
                     dxy=dxy, dzz=dzz, _stop=stop)
 
 
+def _abpg_gain_dopt_step_ds(cfg, prob, c, k):
+    """ABPG_gain fast-gram step, DOUBLE-SINGLE engine (fast_gram="ds").
+
+    Mirrors ``_abpg_gain_dopt_step`` quantity-for-quantity with every
+    trajectory-bearing value a DS (two-f32) pair — theta from the DS Newton
+    ``solve_theta_ds``, DS convex combinations of iterates and Grams, DS
+    trace-series logdet shifts, DS Burg divergences — so the realized
+    trajectory tracks the f64 engine's decision-for-decision (~1e-13 per
+    quantity; measured F agreement ~1e-10 grade, tests/test_ds_fastgram.py)
+    at pure-f32/int8 TPU cost.  h.extra_psi == 0 on the Burg simplex.
+    """
+    from ..ops import double_single as dsl
+
+    f, h = prob["f"], prob["h"]
+    L, gam = _dsg(prob, "L"), _dsg(prob, "gamma")
+    ls_inc, ls_dec = _dsg(prob, "ls_inc"), _dsg(prob, "ls_dec")
+    eps = prob["eps"]
+    x, z, kk = _dsg(c, "x"), _dsg(c, "z"), c["kk"]
+    Gx, Gz = _dsg(c, "Gx"), _dsg(c, "Gz")
+    G_1, theta_1 = _dsg(c, "G"), _dsg(c, "theta")
+    fx = _dsg(c, "fx")
+    ld_x = dsl.neg(fx)
+    Fk = fx
+    one = dsl.from_f32(jnp.ones_like(theta_1[0]))
+    gm1 = dsl.add_f32(gam, jnp.float32(-1.0))
+    delta = jnp.float32(getattr(f, "accept_tol", 0.0)) * (
+        1.0 + jnp.abs(fx[0]))
+
+    def attempt(G, t, cpx):
+        if cfg.theta_eq:
+            th = solve_theta_ds(theta_1, gam, dsl.div(G, G_1))
+            theta = dsl.where(kk > 0, th, theta_1)
+        else:
+            alpha = dsl.div(G, G_1)
+            num = dsl.add_f32(dsl.mul(alpha, gm1), jnp.float32(1.0))
+            den = dsl.add(dsl.mul(gam, alpha), theta_1)
+            theta = dsl.where(kk > 0, dsl.mul(theta_1, dsl.div(num, den)),
+                              theta_1)
+        omt = dsl.sub(one, theta)
+        y = _ds_combine(x, omt, z, theta)
+        Gy = _ds_combine(Gx, omt, Gz, theta)
+        M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
+        ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
+        g = f.grad_from_inv_ds(Mds)
+        Lt = dsl.mul(dsl.mul(dsl.exp(dsl.mul(gm1, dsl.log(theta))), G), L)
+        z_new, cpx = h.div_prox_map_ds_warm(z, g, Lt, cpx)
+        x_new = _ds_combine(x, omt, z_new, theta)
+        Gz_new = f.gram_ds(z_new)
+        Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
+        ld_xn, s_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds,
+                                                   Gx_new, Gx_new)
+        dxy = h.divergence_ds(x_new, y)
+        dzz = h.divergence_ds(z_new, z)
+        early = dzz[0] < eps
+        thg = dsl.exp(dsl.mul(gam, dsl.log(theta)))
+        Gdr = dsl.div(dsl.div(dxy, dzz), thg)
+        if cfg.checkdiv:
+            fail = ~dsl.le(Gdr, G)
+        else:
+            # acceptance on the DS logdet SHIFT plus the declared-noise
+            # allowance (see _accept_delta / DOptimalObjDS.accept_tol)
+            rhs = dsl.add_f32(
+                dsl.add(dsl.dot(g, dsl.sub(x_new, y)),
+                        dsl.mul(dsl.mul(dsl.mul(thg, G), L), dzz)), delta)
+            fail = ~dsl.le(dsl.neg(s_xn), rhs)
+        fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
+        return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, Gz=Gz_new,
+                    Gx=Gx_new, Minv=M32, fxn=dsl.neg(ld_xn), dxy=dxy,
+                    dzz=dzz, Gdr=Gdr, cpx=cpx, fail=fail, t=t)
+
+    cpx0 = _dsg(c, "cpx")
+    s = attempt(dsl.div(G_1, ls_dec), 0, cpx0)
+    s = lax.while_loop(
+        lambda s: s["fail"],
+        lambda s: attempt(dsl.mul(s["G"], ls_inc), s["t"] + 1, cpx0),
+        s,
+    )
+    G, theta, g = s["G"], s["theta"], s["g"]
+    z_new, x_new = s["z"], s["x"]
+    Gz_new, Gx_new = s["Gz"], s["Gx"]
+    dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+
+    sumlogG = dsl.add(_dsg(c, "sumlogG"), dsl.log(G))
+    dt32 = jnp.float32
+    Gavg = jnp.exp((sumlogG[0] + sumlogG[1])
+                   / (gam[0] + k.astype(dt32)))
+
+    # restart (function 'f' / gradient 'g' rule), DS carries
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        F_prev = _dsg(c, "F_prev")
+        if cfg.restart_rule == 'f':
+            trig = dsl.lt(F_prev, Fk)
+        else:
+            trig = dsl.lt(dsl.from_f32(jnp.zeros_like(Fk[0])),
+                          dsl.dot(g, dsl.sub(x_new, x)))
+        theta_c = dsl.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = dsl.where(trig, x_new, z_new)
+        Gz_new = dsl.where(trig, Gx_new, Gz_new)
+
+    stop = dzz[0] < eps
+    c2 = dict(done=c["done"], kk=kk, Minv=s["Minv"])
+    _dsp(c2, "x", x_new)
+    _dsp(c2, "z", z_new)
+    _dsp(c2, "theta", theta_c)
+    _dsp(c2, "G", G)
+    _dsp(c2, "sumlogG", sumlogG)
+    _dsp(c2, "F_prev", Fk)
+    _dsp(c2, "Gx", Gx_new)
+    _dsp(c2, "Gz", Gz_new)
+    _dsp(c2, "fx", s["fxn"])
+    _dsp(c2, "cpx", s["cpx"])
+    return c2, dict(F=Fk[0], F_lo=Fk[1], Gain=G[0], Gdiv=Gdr[0],
+                    Gavg=Gavg, theta=theta[0], dxy=dxy[0] + dxy[1],
+                    dzz=dzz[0] + dzz[1], _stop=stop)
+
+
 def _dopt_state_refresh(f, with_z=True):
     """between_chunks hook: jitted recontraction of the carried fast-Gram
     state (see ``fastgram.refresh_state`` for why it must be jitted)."""
@@ -809,7 +1112,10 @@ def _dopt_state_refresh(f, with_z=True):
         # execution to another device (auto-CPU fallback / solver_device)
         dev = next(iter(carry["x"].devices()))
         fl = jax.device_put(f, dev)
-        return _fg.refresh_state(fl, carry, with_z=with_z)
+        upd = _fg.refresh_state(fl, carry["x"],
+                                carry["z"] if with_z else carry["x"],
+                                with_z=with_z)
+        return {**carry, **upd}
 
     return refresh
 
@@ -838,7 +1144,58 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
     ``_abpg_gain_dopt_step``).  Same method, different-but-valid
     arithmetic: the realized trajectory deviates chaotically through the
     discrete gain line search while converging at the same rate.
+
+    ``fast_gram="ds"``: the same engine in DOUBLE-SINGLE (two-f32)
+    arithmetic — f64-grade trajectories from pure f32/int8 TPU ops, no
+    ``jax_enable_x64`` (oracle: ``DOptimalObjDS.from_design(H)``, h:
+    ``BurgEntropySimplex``).  Tracks the f64 fast_gram trajectory to
+    ~1e-10 (tests); returns host-f64 ``x`` and ``F``.
     """
+    if fast_gram == "ds":
+        from ..ops import double_single as dsl
+
+        _fg.require_fast_gram_ds(f, h)
+        x0_ds = _as_ds(x0)
+        st = _fg.init_state_ds(f, x0_ds)
+        one = dsl.from_f64(1.0)
+        carry = dict(done=jnp.asarray(False), Minv=st["M0"],
+                     kk=jnp.asarray(0, jnp.int32))
+        _dsp(carry, "x", x0_ds)
+        _dsp(carry, "z", x0_ds)
+        _dsp(carry, "theta", one)
+        _dsp(carry, "G", dsl.from_f64(float(G0)))
+        G0ds = dsl.from_f64(float(G0))
+        _dsp(carry, "sumlogG", dsl.mul(dsl.from_f64(float(gamma)),
+                                       dsl.log(G0ds)))
+        _dsp(carry, "F_prev", dsl.from_f32(jnp.asarray(jnp.inf, jnp.float32)))
+        _dsp(carry, "Gx", st["G0"])
+        _dsp(carry, "Gz", st["G0"])
+        _dsp(carry, "fx", dsl.neg(st["ld0"]))
+        _dsp(carry, "cpx", dsl.from_f32(jnp.asarray(-jnp.inf, jnp.float32)))
+        prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, jnp.float32))
+        _dsp(prob, "L", dsl.from_f64(float(L)))
+        _dsp(prob, "gamma", dsl.from_f64(float(gamma)))
+        _dsp(prob, "ls_inc", dsl.from_f64(float(ls_inc)))
+        _dsp(prob, "ls_dec", dsl.from_f64(float(ls_dec)))
+        header = ("\nABPG_gain method for min_{x in C} F(x) = f(x) + Psi(x)\n"
+                  "     k      F(x)       theta         Gk         TSG       D(x+,y)     D(z+,z)      Gavg       time")
+
+        def row(k, r, t):
+            print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:10.3e}  {7:10.3e}  {8:6.1f}".format(
+                k, r["F"], r["theta"], r["Gain"], r["Gdiv"], r["dxy"],
+                r["dzz"], r["Gavg"], t))
+
+        cfg = _ABPGGainCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
+                           restart=bool(restart),
+                           restart_rule=str(restart_rule))
+        carry, hist, T = run_driver(
+            _abpg_gain_dopt_step_ds, carry, maxitrs, verbose=verbose,
+            verbskip=verbskip, header=header, print_row=row, chunk=chunk,
+            checkpoint=checkpoint, problem=prob, cfg=cfg,
+            between_chunks=_dopt_state_refresh_ds(f))
+        x, F = _ds_wrap_returns(carry, hist)
+        return x, F, hist["Gain"], hist["Gdiv"], hist["Gavg"], T
+
     x0 = jnp.asarray(x0)
     dt = x0.dtype
     gam = jnp.asarray(gamma, dt)

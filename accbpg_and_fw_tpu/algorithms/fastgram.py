@@ -48,9 +48,16 @@ def require_fast_gram(f):
 def schulz(M, G, steps=4):
     """Newton-Schulz inverse polish: M <- 2M - M G M (matmul-only; the
     error ||I - G M|| SQUARES per step, so 4 steps take a 5e-2 warm start
-    or a 1e-3 f32-Cholesky seed to below 1e-12)."""
+    or a 1e-3 f32-Cholesky seed to below 1e-12).
+
+    Precision.HIGHEST is load-bearing for f32 operands: TPU matmuls
+    default to bf16 MXU passes (~1e-3 relative), which caps the Schulz
+    fixed point at ~1e-2 — measured: the f32 polish DEGRADED a 3.5e-7
+    seed to 1e-2 before this pin (f64 operands are unaffected)."""
+    hi = jax.lax.Precision.HIGHEST
     for _ in range(steps):
-        M = 2.0 * M - M @ (G @ M)
+        M = 2.0 * M - jnp.matmul(
+            M, jnp.matmul(G, M, precision=hi), precision=hi)
     return M
 
 
@@ -123,6 +130,132 @@ def anchored_logdet(f, ld_anchor, sign, M, G_series, G_target):
                                  G_target)[0]
 
 
+# ---------------------------------------------------------------------------
+# Double-single (two-f32) engine: the same linear-Gram machinery at f64
+# GRADE from pure f32/int8 TPU ops — no jax_enable_x64, no emulated f64.
+# Oracles opt in with the DS protocol ``gram_ds`` / ``logdet_full_ds`` /
+# ``inv_seed32`` / ``grad_from_inv_ds`` (DOptimalObjDS).  Every multi-word
+# value is a DS ``(hi, lo)`` f32 pair (ops/double_single.py).
+# ---------------------------------------------------------------------------
+
+_DS_PROTOCOL = ("gram_ds", "logdet_full_ds", "inv_seed32", "grad_from_inv_ds")
+
+
+def supports_fast_gram_ds(f):
+    return all(hasattr(f, a) for a in _DS_PROTOCOL)
+
+
+def require_fast_gram_ds(f, h):
+    if not supports_fast_gram_ds(f):
+        raise ValueError(
+            "fast_gram='ds' needs a double-single linear-Gram oracle "
+            "exposing gram_ds/logdet_full_ds/inv_seed32/grad_from_inv_ds "
+            "(DOptimalObjDS.from_design(H))")
+    if not hasattr(h, "div_prox_map_ds_warm"):
+        raise ValueError(
+            "fast_gram='ds' needs an h-oracle with a double-single prox "
+            "(BurgEntropySimplex)")
+
+
+def inv_pair_ds(f, G, M_prev32, f32_steps=4, ds_steps=2):
+    """(f32 inverse for the carry, DS inverse for gradient/series) of a DS
+    Gram: warm-started f32 Schulz (matmul-only, converges to its ~1e-6
+    roundoff fixed point) + ``ds_steps`` DS Newton-Schulz polish steps,
+    each SQUARING the residual (1e-6 -> 1e-12 -> DS floor)."""
+    from ..ops import ds_linalg as dl
+
+    Gh = G[0] + G[1]
+    eye = jnp.eye(Gh.shape[0], dtype=Gh.dtype)
+    E0 = eye - jnp.matmul(M_prev32, Gh, precision=jax.lax.Precision.HIGHEST)
+    warm_ok = jnp.sum(E0 * E0) <= WARM_TAU2
+    M0 = lax.cond(warm_ok, lambda: M_prev32, lambda: f.inv_seed32(G))
+    M32 = schulz(M0, Gh, steps=f32_steps)
+    M_ds = M32
+    for _ in range(ds_steps):
+        M_ds = dl.schulz_step_ds(M_ds, G)
+    return M32, M_ds
+
+
+def series_logdet_ds(E):
+    """``series_logdet`` with a DS input/output: all 8 trace terms in DS
+    (the m x m DS matmuls are trivial at fast-gram sizes; t3/t4 in f32
+    would cost ~1e-10 absolute near the 0.03 gate)."""
+    from ..ops import double_single as ds
+    from ..ops import ds_linalg as dl
+
+    E2 = dl.mm(E, E)
+    E3 = dl.mm(E, E2)
+    E4 = dl.mm(E2, E2)
+    t1 = dl.trace(E)
+    t2 = dl.trace(E2)
+    t3 = dl.trace(E3)
+    t4 = dl.trace(E4)
+
+    def tsum(A, B):
+        # tr(A B) = sum(A * B^T) elementwise in DS
+        return ds.sum_along(
+            ds.sum_along(ds.mul(A, (B[0].T, B[1].T)), 1), 0)
+
+    t5 = tsum(E2, E3)
+    t6 = tsum(E3, E3)
+    t7 = tsum(E3, E4)
+    t8 = tsum(E4, E4)
+    acc = t1
+    for j, t in ((2, t2), (3, t3), (4, t4), (5, t5), (6, t6), (7, t7),
+                 (8, t8)):
+        acc = ds.add(acc, ds.mul_f32(t, jnp.float32(1.0 / j)))
+    return ds.neg(acc)
+
+
+def anchored_logdet_shift_ds(f, ld_anchor, sign, M_ds, G_series, G_target):
+    """``anchored_logdet_shift`` in DS: identical gates and fallback
+    semantics, DS-accurate shifts (the acceptance-immunity argument of the
+    f64 docstring above carries over at the ~1e-13 level)."""
+    from ..ops import double_single as ds
+    from ..ops import ds_linalg as dl
+
+    # E = I - M G_series with M DS, G DS
+    MG = dl.mm(M_ds if isinstance(M_ds, tuple) else ds.from_f32(M_ds),
+               G_series)
+    E = dl.eye_minus(MG)
+    Eh = E[0] + E[1]
+    ok = jnp.sum(Eh * Eh) <= SERIES_TAU2
+
+    def fast():
+        return ds.mul_f32(series_logdet_ds(E), jnp.float32(sign))
+
+    def fallback():
+        return ds.sub(f.logdet_full_ds(G_target), ld_anchor)
+
+    s = lax.cond(ok, fast, fallback)
+    return ds.add(ld_anchor, s), s
+
+
+@functools.partial(jax.jit, static_argnames=())
+def init_state_ds(f, x0):
+    """Pre-scan DS Gram / f32 inverse / DS logdet at the starting point
+    (jitted for the same per-call-recompile reason as ``init_state``)."""
+    G0 = f.gram_ds(x0)
+    M32 = schulz(f.inv_seed32(G0), G0[0] + G0[1])
+    ld0 = f.logdet_full_ds(G0)
+    return dict(G0=G0, M0=M32, ld0=ld0)
+
+
+@functools.partial(jax.jit, static_argnames=("with_z",))
+def refresh_state_ds(f, x, z, with_z=True):
+    """between_chunks recontraction for the DS engine: fresh DS Grams from
+    the exact iterates, fresh f32 inverse seed, fresh DS anchor logdet.
+    Takes only the recomputed inputs and returns only the recomputed
+    leaves (merged into the carry outside the jit) — the round-2 advisor
+    note on ``refresh_state`` jitting whole carries applies here too."""
+    Gx = f.gram_ds(x)
+    out = dict(Gx=Gx, fx=tuple(map(jnp.negative, f.logdet_full_ds(Gx))),
+               Minv=schulz(f.inv_seed32(Gx), Gx[0] + Gx[1]))
+    if with_z:
+        out["Gz"] = f.gram_ds(z)
+    return out
+
+
 @jax.jit
 def init_state(f, x0):
     """Pre-scan Gram / inverse / logdet at the starting point.
@@ -141,14 +274,18 @@ def init_state(f, x0):
 
 
 @functools.partial(jax.jit, static_argnames=("with_z",))
-def refresh_state(f, carry, with_z=True):
+def refresh_state(f, x, z, with_z=True):
     """between_chunks recontraction of the carried Grams / inverse /
     logdet from the exact iterates, so combination/series roundoff cannot
     accumulate past one chunk (~1e-16/step worst-case drift).  Jitted for
-    the same per-call-recompile reason as ``init_state``."""
-    Gx = f.gram(carry["x"])
-    out = {**carry, "Gx": Gx, "fx": -f.logdet_full(Gx),
+    the same per-call-recompile reason as ``init_state``.  Takes only the
+    recomputed inputs and returns only the recomputed leaves (merged into
+    the carry by the caller) — jitting the whole carry would make every
+    pass-through leaf a jit input (device-mismatch hazards, one executable
+    per optional-key carry layout; round-2 advisor note)."""
+    Gx = f.gram(x)
+    out = {"Gx": Gx, "fx": -f.logdet_full(Gx),
            "Minv": schulz(f.inv_seed(Gx), Gx)}
     if with_z:
-        out["Gz"] = f.gram(carry["z"])
+        out["Gz"] = f.gram(z)
     return out

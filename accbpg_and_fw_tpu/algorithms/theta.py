@@ -13,6 +13,54 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def solve_theta_ds(theta, gamma, gainratio=None, max_iters=64, unroll=12):
+    """``solve_theta`` in DOUBLE-SINGLE arithmetic (fast_gram="ds" drivers).
+
+    Mirrors the f64 kernel step-for-step — same guarded 12-step unroll +
+    bounded while_loop, same |phi| > 1e-6*theta exit — with every scalar a
+    DS pair, so the DS driver's theta sequence tracks the f64 driver's to
+    ~1e-13 (the exit-test decisions compare at identical thresholds).
+    ``theta``/``gainratio``/``gamma`` are DS pairs; powers go through DS
+    exp/log."""
+    from ..ops import double_single as ds
+
+    def powg(t, g):
+        return ds.exp(ds.mul(g, ds.log(t)))
+
+    if gainratio is None:
+        gainratio = ds.from_f32(jnp.ones_like(theta[0]))
+    ckg = ds.div(powg(theta, gamma), gainratio)
+    eps = 1e-6 * theta[0]
+    gm1 = ds.add_f32(gamma, jnp.float32(-1.0))
+
+    def phi(t):
+        one_minus = ds.add_f32(ds.neg(t), jnp.float32(1.0))
+        return ds.sub(powg(t, gamma), ds.mul(ckg, one_minus))
+
+    def step(t, ph):
+        upd = jnp.abs(ph[0]) > eps
+        drv = ds.add(ds.mul(gamma, powg(t, gm1)), ckg)
+        t_new = ds.where(upd, ds.sub(t, ds.div(ph, drv)), t)
+        ph_new = phi(t_new)
+        return t_new, ds.where(upd, ph_new, ph)
+
+    t, ph = theta, phi(theta)
+    for _ in range(unroll):
+        t, ph = step(t, ph)
+
+    def cond(state):
+        t, ph, it = state
+        return jnp.logical_and(jnp.abs(ph[0]) > eps, it < max_iters)
+
+    def body(state):
+        t, ph, it = state
+        t, ph = step(t, ph)
+        return t, ph, it + 1
+
+    t, _, _ = lax.while_loop(cond, body, (t, ph, unroll))
+    return t
+
+
 def solve_theta(theta, gamma, gainratio=1.0, max_iters=64, unroll=12):
     theta = jnp.asarray(theta)
     gamma = jnp.asarray(gamma, theta.dtype)

@@ -222,7 +222,11 @@ class DOptimalObjMixed(SmoothOracle):
 
         def fast():
             trE = jnp.trace(E).astype(jnp.float64)
-            trE2 = jnp.trace(E @ E).astype(jnp.float64)
+            # HIGHEST: TPU f32 matmuls default to bf16 passes, which would
+            # put ~1e-3 relative noise on tr(E^2) (see fastgram.schulz)
+            trE2 = jnp.trace(jnp.matmul(
+                E, E, precision=jax.lax.Precision.HIGHEST)
+            ).astype(jnp.float64)
             ld = (2.0 * jnp.sum(jnp.log(jnp.diagonal(R64)))
                   + trE - 0.5 * trE2)
             return ld, cho_solve((R, True), eye32).astype(jnp.float64)
@@ -317,6 +321,13 @@ class DOptimalObjDS(SmoothOracle):
     ipynb/ABPGvsFW/ex_Dopt_ABPGvsFW.ipynb cells 3/5 at f64-grade accuracy
     WITHOUT x64 (BASELINE.md round-3 rows).
     """
+
+    # Declared oracle accuracy for line-search acceptances (see
+    # DOptimalObjMixed.accept_tol — same failure mode at the DS noise
+    # scale): without it the 30x1000 gain line search spiraled on-chip
+    # once true descent margins sank below the ~1e-12 DS shift noise
+    # (G inflating, theta -> 0, spurious dzz-converged stop at k=449/9000).
+    accept_tol = 1e-12
 
     Vh: Any = None         # (m, n) f32 DS planes of the design matrix
     Vl: Any = None
@@ -417,10 +428,12 @@ class DOptimalObjDS(SmoothOracle):
                 dsl.sum_along(dsl.log(dsl.from_f32(jnp.diagonal(R32))), 0),
                 jnp.float32(2.0))
             # logdet(I + E) = tr E - tr E^2/2 + tr E^3/3 (E ~ <= 1e-4
-            # under the gate; quartic term <= m*1e-16)
-            E2 = E @ E
+            # under the gate; quartic term <= m*1e-16).  HIGHEST precision:
+            # TPU f32 matmuls default to bf16 passes (see fastgram.schulz)
+            hi = jax.lax.Precision.HIGHEST
+            E2 = jnp.matmul(E, E, precision=hi)
             corr = (jnp.trace(E) - 0.5 * jnp.trace(E2)
-                    + jnp.trace(E2 @ E) / 3.0)
+                    + jnp.trace(jnp.matmul(E2, E, precision=hi)) / 3.0)
             return dsl.add_f32(ld_r, corr)
 
         def exact():

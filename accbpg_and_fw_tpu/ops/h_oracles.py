@@ -66,6 +66,21 @@ class BurgEntropy(LegendreOracle):
     def div_prox_map(self, y, g, L):
         return self.prox_map(g + L / y, L)
 
+    # -- double-single variants (fast_gram="ds" drivers; see ops/double_single)
+
+    def divergence_ds(self, x, y):
+        """DS Bregman divergence sum(r - log r - 1), r = x/y — evaluated
+        through the cancellation-free ``half_sq_log_term`` kernel so each
+        element keeps DS RELATIVE accuracy even as r -> 1 (the regime every
+        convergent driver ends in)."""
+        from . import double_single as ds
+
+        delta = ds.add_f32(ds.div(x, y), jnp.float32(-1.0))
+        t = ds.half_sq_log_term(delta)
+        both_zero = (x[0] == 0) & (x[1] == 0) & (y[0] == 0) & (y[1] == 0)
+        t = ds.where(both_zero, ds.from_f32(jnp.zeros_like(t[0])), t)
+        return ds.sum_along(t, 0)
+
 
 @pytree_dataclass
 class BurgEntropyL1(BurgEntropy):
@@ -148,6 +163,29 @@ class BurgEntropySimplex(BurgEntropy):
 
     def div_prox_map_warm(self, y, g, L, c_prev):
         return self.prox_map_warm(g + L / y, L, c_prev)
+
+    # -- double-single variants (fast_gram="ds"): x, y, g, L, c are DS pairs
+
+    def prox_map_ds_warm(self, g, L, c_prev):
+        from . import double_single as ds
+        from .roots import simplex_inv_multiplier_ds
+
+        Lb = (jnp.broadcast_to(L[0], g[0].shape),
+              jnp.broadcast_to(L[1], g[1].shape))
+        gg = ds.div(g, Lb)
+        c = simplex_inv_multiplier_ds(gg, self.eps, c_warm=c_prev)
+        cb = (jnp.broadcast_to(c[0], gg[0].shape),
+              jnp.broadcast_to(c[1], gg[1].shape))
+        ones = ds.from_f32(jnp.ones_like(gg[0]))
+        return ds.div(ones, ds.add(gg, cb)), c
+
+    def div_prox_map_ds_warm(self, y, g, L, c_prev):
+        from . import double_single as ds
+
+        Lb = (jnp.broadcast_to(L[0], g[0].shape),
+              jnp.broadcast_to(L[1], g[1].shape))
+        g_shift = ds.add(g, ds.div(Lb, y))
+        return self.prox_map_ds_warm(g_shift, L, c_prev)
 
 
 @pytree_dataclass

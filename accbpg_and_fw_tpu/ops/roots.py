@@ -143,6 +143,72 @@ def simplex_inv_multiplier(gg, eps, max_newton=100, c_warm=None):
     return c
 
 
+def simplex_inv_multiplier_ds(gg, eps, max_newton=100, c_warm=None):
+    """``simplex_inv_multiplier`` in DOUBLE-SINGLE arithmetic: the Burg
+    simplex KKT multiplier to ~1e-13 relative from pure f32 ops.
+
+    Same structure as the f64 kernel above — certified from-below AM-HM
+    warm start, fused Newton passes, domain safeguard, freeze guard, two
+    unconditional polish steps — with every residual sum a DS pairwise
+    fold, so a ``fast_gram="ds"`` driver's trajectory tracks the f64
+    driver's decision-for-decision (the Newton exit tests compare at the
+    same |resid| > eps thresholds on hi planes).  ``gg``/``c_warm`` are DS
+    pairs; returns the DS multiplier."""
+    from . import double_single as ds
+
+    ggh = gg[0]
+    dtype = ggh.dtype
+    one = jnp.asarray(1.0, dtype)
+
+    cmin = ds.neg(ds.min_along(gg, 0))
+    finite = jnp.isfinite(ggh)
+    n_eff = jnp.sum(finite.astype(dtype))
+    gg_fin = ds.where(finite, gg, ds.from_f32(jnp.zeros_like(ggh)))
+    gg_sum = ds.sum_along(gg_fin, 0)
+
+    def resid_and_deriv(c):
+        cb = (jnp.broadcast_to(c[0], ggh.shape),
+              jnp.broadcast_to(c[1], ggh.shape))
+        r = ds.div(ds.from_f32(jnp.ones_like(ggh)), ds.add(gg, cb))
+        resid = ds.add_f32(ds.sum_along(r, 0), -one)
+        deriv = ds.neg(ds.sum_along(ds.sq(r), 0))
+        return resid, deriv
+
+    c0 = ds.add_f32(cmin, one)
+    c_hm = ds.sub(ds.from_f32(n_eff), ds.mul_f32(gg_sum, 1.0 / n_eff))
+    c = ds.where(ds.lt(c0, c_hm), c_hm, c0)
+    if c_warm is not None:
+        cw = c_warm
+        ok = (jnp.isfinite(cw[0]) & ds.lt(cmin, cw)
+              & ds.le(cw, ds.add_f32(cmin, n_eff)))
+        c = ds.where(ok & ds.lt(c, cw), cw, c)
+
+    def nw_cond(state):
+        c, fc, fpc, it = state
+        return jnp.logical_and(jnp.abs(fc[0]) > eps, it < max_newton)
+
+    def nw_body(state):
+        c, fc, fpc, it = state
+        c_new = ds.sub(c, ds.div(fc, fpc))
+        bis = ds.mul_f32(ds.add(c, cmin), 0.5)
+        c_new = ds.where(ds.lt(cmin, c_new), c_new, bis)
+        frozen = (c_new[0] == c[0]) & (c_new[1] == c[1])
+        fc_new, fpc_new = resid_and_deriv(c_new)
+        fc_new = ds.where(frozen, ds.from_f32(jnp.zeros_like(fc[0])), fc_new)
+        return (c_new, fc_new, fpc_new, it + 1)
+
+    fc0, fpc0 = resid_and_deriv(c)
+    c, fc, fpc, _ = lax.while_loop(nw_cond, nw_body, (c, fc0, fpc0, 0))
+    for _ in range(2):
+        c_new = ds.sub(c, ds.div(fc, fpc))
+        frozen = (c_new[0] == c[0]) & (c_new[1] == c[1])
+        fc_new, fpc_new = resid_and_deriv(c_new)
+        c = c_new
+        fc = ds.where(frozen, ds.from_f32(jnp.zeros_like(fc[0])), fc_new)
+        fpc = fpc_new
+    return c
+
+
 def project_simplex_burg(y, eps=1e-8):
     """Map ``y`` to ``x = 1/(y + c)`` with ``sum(x) = 1`` (Burg-Newton map).
 

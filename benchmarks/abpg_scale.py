@@ -350,11 +350,52 @@ def run_f64(force_cpu=False):
     return results
 
 
+def run_ds():
+    """Round-3 double-single engine (fast_gram="ds"): f64-GRADE answers
+    from pure f32/int8 TPU ops — no x64 anywhere in the process.  Each
+    run reports the warm wall plus a FRESH host-f64 certification of the
+    final iterate (slogdet of the simplex-normalized x)."""
+    import accbpg_and_fw_tpu as acc
+
+    probs = _problems()
+    results = []
+
+    def bench(name, fn, H64):
+        fn()  # compile + warm
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        x = np.asarray(out[0], np.float64)
+        F = np.asarray(out[1])
+        fresh = -np.linalg.slogdet((H64 * (x / x.sum())) @ H64.T)[1]
+        row = {"bench": name, "seconds": round(dt, 3),
+               "final_F": float(F[-1]), "fresh_f64_F": float(fresh),
+               "iters": int(len(F))}
+        print(json.dumps(row), flush=True)
+        results.append(row)
+
+    for key, iters in (("dopt_30x1000", 9000), ("dopt_30x10000", 9000)):
+        f, h, L, x0 = probs[key]
+        H64 = np.asarray(f.H, np.float64)
+        fds = acc.DOptimalObjDS.from_design(H64)
+        x064 = np.full(H64.shape[1], 1.0 / H64.shape[1])
+        bench(f"ds_{key}_bpg_ls", lambda: acc.BPG(
+            fds, h, L, x064, maxitrs=iters, linesearch=True,
+            verbose=False, fast_gram="ds"), H64)
+        bench(f"ds_{key}_abpg_gain", lambda: acc.ABPG_gain(
+            fds, h, L, x064, gamma=2, maxitrs=iters, verbose=False,
+            fast_gram="ds"), H64)
+    return results
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--ours", action="store_true")
     p.add_argument("--reference", action="store_true")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--ds", action="store_true",
+                   help="double-single engine rows (fast_gram='ds'; "
+                        "f64-grade from pure f32/int8, no x64)")
     p.add_argument("--cpu", action="store_true",
                    help="force the host backend for --f64 (no TPU-process "
                         "routing overhead; isolates pure host numbers)")
@@ -363,5 +404,7 @@ if __name__ == "__main__":
         run_reference()
     if a.f64:
         run_f64(force_cpu=a.cpu)
-    if a.ours or not (a.reference or a.f64):
+    if a.ds:
+        run_ds()
+    if a.ours or not (a.reference or a.f64 or a.ds):
         run_ours()
