@@ -278,9 +278,10 @@ def _bpg_dopt_step_ds(cfg, prob, c, k):
         x1, cp1 = h.div_prox_map_ds_warm(x, g, Lt, cpx)
         G1 = f.gram_ds(x1)
         ld1, s1 = _fg.anchored_logdet_shift_ds(f, ld_x, 1.0, Mds, G1, G1)
-        rhs = dsl.add_f32(
-            dsl.add(dsl.dot(g, dsl.sub(x1, x)),
-                    dsl.mul(Lt, h.divergence_ds(x1, x))), delta)
+        # one stacked fold for <g, x1-x> and D(x1, x) (sum_many)
+        gd, dv = dsl.sum_many([dsl.mul(g, dsl.sub(x1, x)),
+                               h.divergence_terms_ds(x1, x)])
+        rhs = dsl.add_f32(dsl.add(gd, dsl.mul(Lt, dv)), delta)
         # NaN-robust: ~(lhs <= rhs) — DS compares are False on NaN planes
         fail = ~dsl.le(dsl.neg(s1), rhs)
         return x1, G1, dsl.neg(ld1), cp1, fail
@@ -797,6 +798,7 @@ class _ABPGGainCfg(NamedTuple):
     restart: bool
     restart_rule: str
     stochastic: bool = False
+    gamma2: bool = False  # static gamma == 2 (DS engine: sq instead of pow)
 
 
 def _abpg_gain_step(cfg, prob, c, k):
@@ -1012,9 +1014,20 @@ def _abpg_gain_dopt_step_ds(cfg, prob, c, k):
     delta = jnp.float32(getattr(f, "accept_tol", 0.0)) * (
         1.0 + jnp.abs(fx[0]))
 
+    if cfg.gamma2:
+        pow_g = dsl.sq
+        pow_gm1 = lambda t: t  # noqa: E731
+    else:
+        def pow_g(t):
+            return dsl.exp(dsl.mul(gam, dsl.log(t)))
+
+        def pow_gm1(t):
+            return dsl.exp(dsl.mul(gm1, dsl.log(t)))
+
     def attempt(G, t, cpx):
         if cfg.theta_eq:
-            th = solve_theta_ds(theta_1, gam, dsl.div(G, G_1))
+            th = solve_theta_ds(theta_1, gam, dsl.div(G, G_1),
+                                square_gamma=cfg.gamma2)
             theta = dsl.where(kk > 0, th, theta_1)
         else:
             alpha = dsl.div(G, G_1)
@@ -1028,17 +1041,19 @@ def _abpg_gain_dopt_step_ds(cfg, prob, c, k):
         M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
         ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
         g = f.grad_from_inv_ds(Mds)
-        Lt = dsl.mul(dsl.mul(dsl.exp(dsl.mul(gm1, dsl.log(theta))), G), L)
+        Lt = dsl.mul(dsl.mul(pow_gm1(theta), G), L)
         z_new, cpx = h.div_prox_map_ds_warm(z, g, Lt, cpx)
         x_new = _ds_combine(x, omt, z_new, theta)
         Gz_new = f.gram_ds(z_new)
         Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
         ld_xn, s_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds,
                                                    Gx_new, Gx_new)
-        dxy = h.divergence_ds(x_new, y)
-        dzz = h.divergence_ds(z_new, z)
+        # one stacked fold for <g, x_new-y>, D(x+, y) and D(z+, z)
+        gd, dxy, dzz = dsl.sum_many([dsl.mul(g, dsl.sub(x_new, y)),
+                                     h.divergence_terms_ds(x_new, y),
+                                     h.divergence_terms_ds(z_new, z)])
         early = dzz[0] < eps
-        thg = dsl.exp(dsl.mul(gam, dsl.log(theta)))
+        thg = pow_g(theta)
         Gdr = dsl.div(dsl.div(dxy, dzz), thg)
         if cfg.checkdiv:
             fail = ~dsl.le(Gdr, G)
@@ -1046,8 +1061,8 @@ def _abpg_gain_dopt_step_ds(cfg, prob, c, k):
             # acceptance on the DS logdet SHIFT plus the declared-noise
             # allowance (see _accept_delta / DOptimalObjDS.accept_tol)
             rhs = dsl.add_f32(
-                dsl.add(dsl.dot(g, dsl.sub(x_new, y)),
-                        dsl.mul(dsl.mul(dsl.mul(thg, G), L), dzz)), delta)
+                dsl.add(gd, dsl.mul(dsl.mul(dsl.mul(thg, G), L), dzz)),
+                delta)
             fail = ~dsl.le(dsl.neg(s_xn), rhs)
         fail = fail & jnp.logical_not(early) & (t < _LS_MAX)
         return dict(G=G, theta=theta, g=g, z=z_new, x=x_new, Gz=Gz_new,
@@ -1187,7 +1202,8 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
 
         cfg = _ABPGGainCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
                            restart=bool(restart),
-                           restart_rule=str(restart_rule))
+                           restart_rule=str(restart_rule),
+                           gamma2=(float(gamma) == 2.0))
         carry, hist, T = run_driver(
             _abpg_gain_dopt_step_ds, carry, maxitrs, verbose=verbose,
             verbskip=verbskip, header=header, print_row=row, chunk=chunk,

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def solve_theta_ds(theta, gamma, gainratio=None, max_iters=64, unroll=12):
+def solve_theta_ds(theta, gamma, gainratio=None, max_iters=64, unroll=12,
+                   square_gamma=False):
     """``solve_theta`` in DOUBLE-SINGLE arithmetic (fast_gram="ds" drivers).
 
     Mirrors the f64 kernel step-for-step — same guarded 12-step unroll +
@@ -24,22 +25,32 @@ def solve_theta_ds(theta, gamma, gainratio=None, max_iters=64, unroll=12):
     exp/log."""
     from ..ops import double_single as ds
 
-    def powg(t, g):
-        return ds.exp(ds.mul(g, ds.log(t)))
+    if square_gamma:
+        # static gamma == 2 (the reference benchmarks' value): t^gamma and
+        # t^(gamma-1) become sq/identity — the DS exp/log Newton chains
+        # otherwise dominate the gain step's scalar cost in-scan
+        pow_g = ds.sq
+        pow_gm1 = lambda t: t  # noqa: E731
+    else:
+        def pow_g(t):
+            return ds.exp(ds.mul(gamma, ds.log(t)))
+
+        def pow_gm1(t):
+            return ds.exp(ds.mul(gm1, ds.log(t)))
 
     if gainratio is None:
         gainratio = ds.from_f32(jnp.ones_like(theta[0]))
-    ckg = ds.div(powg(theta, gamma), gainratio)
-    eps = 1e-6 * theta[0]
     gm1 = ds.add_f32(gamma, jnp.float32(-1.0))
+    ckg = ds.div(pow_g(theta), gainratio)
+    eps = 1e-6 * theta[0]
 
     def phi(t):
         one_minus = ds.add_f32(ds.neg(t), jnp.float32(1.0))
-        return ds.sub(powg(t, gamma), ds.mul(ckg, one_minus))
+        return ds.sub(pow_g(t), ds.mul(ckg, one_minus))
 
     def step(t, ph):
         upd = jnp.abs(ph[0]) > eps
-        drv = ds.add(ds.mul(gamma, powg(t, gm1)), ckg)
+        drv = ds.add(ds.mul(gamma, pow_gm1(t)), ckg)
         t_new = ds.where(upd, ds.sub(t, ds.div(ph, drv)), t)
         ph_new = phi(t_new)
         return t_new, ds.where(upd, ph_new, ph)

@@ -328,6 +328,20 @@ def sum_along(x, axis, keepdims=False, sloppy=False):
     return hi, lo
 
 
+def sum_many(vs, sloppy=True):
+    """Reduce SEVERAL equal-length DS 1-D vectors in ONE pairwise fold.
+
+    In-scan, each DS reduction is a ~log2(n)-deep chain of shrinking
+    vector ops whose dispatch latency dominates the solver iteration
+    (measured: the DS BPG step spends most of its ~800 us in its ~15
+    separate reductions at n=1000).  Stacking k vectors into a (k, n)
+    fold pays ONE chain for all k.  Returns a list of k DS scalars."""
+    hi = jnp.stack([v[0] for v in vs])
+    lo = jnp.stack([v[1] for v in vs])
+    sh, sl = sum_along((hi, lo), axis=1, sloppy=sloppy)
+    return [(sh[i], sl[i]) for i in range(len(vs))]
+
+
 def min_along(x, axis=0, keepdims=False):
     """DS minimum along an axis (pairwise fold with the DS total order)."""
     from jax import lax as _lax

@@ -68,18 +68,25 @@ class BurgEntropy(LegendreOracle):
 
     # -- double-single variants (fast_gram="ds" drivers; see ops/double_single)
 
-    def divergence_ds(self, x, y):
-        """DS Bregman divergence sum(r - log r - 1), r = x/y — evaluated
-        through the cancellation-free ``half_sq_log_term`` kernel so each
-        element keeps DS RELATIVE accuracy even as r -> 1 (the regime every
-        convergent driver ends in)."""
+    def divergence_terms_ds(self, x, y):
+        """Elementwise DS Bregman divergence terms ``r - log r - 1``,
+        r = x/y, via the cancellation-free ``half_sq_log_term`` kernel so
+        each element keeps DS RELATIVE accuracy even as r -> 1 (the regime
+        every convergent driver ends in).  Returned unsummed so callers
+        can batch several reductions into one fold (sum_many)."""
         from . import double_single as ds
 
         delta = ds.add_f32(ds.div(x, y), jnp.float32(-1.0))
         t = ds.half_sq_log_term(delta)
         both_zero = (x[0] == 0) & (x[1] == 0) & (y[0] == 0) & (y[1] == 0)
-        t = ds.where(both_zero, ds.from_f32(jnp.zeros_like(t[0])), t)
-        return ds.sum_along(t, 0)
+        return ds.where(both_zero, ds.from_f32(jnp.zeros_like(t[0])), t)
+
+    def divergence_ds(self, x, y):
+        """DS Bregman divergence sum(r - log r - 1) (see
+        ``divergence_terms_ds``)."""
+        from . import double_single as ds
+
+        return ds.sum_along(self.divergence_terms_ds(x, y), 0)
 
 
 @pytree_dataclass

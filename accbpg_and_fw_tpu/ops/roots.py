@@ -170,8 +170,11 @@ def simplex_inv_multiplier_ds(gg, eps, max_newton=100, c_warm=None):
         cb = (jnp.broadcast_to(c[0], ggh.shape),
               jnp.broadcast_to(c[1], ggh.shape))
         r = ds.div(ds.from_f32(jnp.ones_like(ggh)), ds.add(gg, cb))
-        resid = ds.add_f32(ds.sum_along(r, 0), -one)
-        deriv = ds.neg(ds.sum_along(ds.sq(r), 0))
+        # ONE stacked fold for both sums (reduction chains dominate the
+        # in-scan prox cost; see double_single.sum_many)
+        s_r, s_r2 = ds.sum_many([r, ds.sq(r)])
+        resid = ds.add_f32(s_r, -one)
+        deriv = ds.neg(s_r2)
         return resid, deriv
 
     c0 = ds.add_f32(cmin, one)
