@@ -131,13 +131,13 @@ def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     block; measured: the same K=32 sweep at a 30000 budget was 3.1 s as a
     single launch vs ~1 s with blocks, instances converging by ~9k).
 
-    KNOWN LIMIT (recorded, round 2): with K >= 2 the vmapped lowering
-    rounds differently from the single-instance path; on very small m
-    (~12) some instances enter a shallow limit cycle between 1e-8 and
-    1e-7 slack instead of certifying 1e-8 (single-instance ``u_mode="ds"``
-    and the Pallas kernel certify 1e-8 on the same instances).  At the
-    sweep scales the studies use (m >= 30) measure certification before
-    relying on 1e-8; 1e-7 targets are reliable.
+    The round-2 "K >= 2 vmapped drift / small-m limit cycle" KNOWN LIMIT
+    is CLOSED (round 3): its root cause was XLA rewriting the
+    error-free-transform patterns once vmap introduced broadcast operands
+    (see double_single._bc2 and the CPU f64-backed escape hatch); with
+    the EFT entry points broadcast-materialized, the batch engine
+    fresh-certifies 1e-8 at m = 12 AND m = 30 (16/16 instances measured
+    on-chip, worst slack 9.99e-9; tests/test_parallel.py).
     """
     import numpy as onp
 

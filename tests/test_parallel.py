@@ -24,6 +24,31 @@ def mesh():
     return data_mesh(jax.devices()[:8])
 
 
+class TestBatchedDSCertification:
+    """Round-2 verdict item 4: the DS batch engine must fresh-certify
+    1e-8 at small m (the old K>=2 vmapped limit cycle is root-caused to
+    broadcast-EFT rewriting, fixed by double_single._bc2; on-chip 16/16
+    certification is recorded in BASELINE.md — this is the CPU gate)."""
+
+    @pytest.mark.parametrize("m", [12, 30])
+    def test_small_m_certifies_1e8(self, m):
+        rng = np.random.default_rng(7)
+        K, n = 4, 300
+        Vs = rng.standard_normal((K, m, n))
+        x0s = np.full((K, n), 1.0 / n)
+        xb, Fb, SPb, SNb = dopt_fw_batch(Vs, x0s, eps=1e-8,
+                                         num_iters=60000, precision="ds")
+        for k in range(K):
+            x = np.asarray(xb[k], np.float64)
+            x = np.maximum(x, 0)
+            x = x / x.sum()
+            G = (Vs[k] * x) @ Vs[k].T
+            w = np.einsum("ij,ij->j", Vs[k], np.linalg.solve(G, Vs[k]))
+            sp = w.max() / m - 1.0
+            sn = 1.0 - w[x > 1e-8].min() / m
+            assert max(sp, sn) <= 1.05e-8, (k, sp, sn)
+
+
 class TestShardedDOpt:
     def test_bpg_sharded_matches_single(self, mesh):
         f, h, L, x0 = acc.D_opt_design(16, 64, randseed=5)
