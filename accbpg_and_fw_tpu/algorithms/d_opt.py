@@ -458,16 +458,17 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
     if u_mode == "pallas":
         # whole-iteration fused kernel (ops/pallas_dopt.py): double-single
         # precision, ~10.7 us/iteration independent of n; single-chip,
-        # V must fit in VMEM (m*n up to ~1.5M entries); no checkpointing.
-        if checkpoint is not None:
-            raise ValueError("u_mode='pallas' does not support checkpoints; "
-                             "use u_mode='ds' for resumable runs")
+        # V must fit in VMEM (m*n up to ~1.5M entries).  Checkpoints
+        # snapshot the iterate at launch-block boundaries; resume equals a
+        # refresh at the interruption point (refresh-level trajectory
+        # agreement, not bitwise — see dopt_fw_pallas).
         from ..ops.pallas_dopt import dopt_fw_pallas
 
         interpret = jax.default_backend() != "tpu"
         return dopt_fw_pallas(V, x0, eps, maxitrs, away=away, verbose=verbose,
                               verbskip=verbskip, chunk=chunk,
-                              refresh_every=refresh_every, interpret=interpret)
+                              refresh_every=refresh_every, interpret=interpret,
+                              checkpoint=checkpoint)
     if u_mode == "ds":
         return _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk,
                             away, refresh_every, header,

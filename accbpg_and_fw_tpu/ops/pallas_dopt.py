@@ -532,8 +532,47 @@ def _factorize_np(V64, x64):
     return H, w, logdet
 
 
+_CKPT_VERSION = 1
+
+
+def _pallas_ckpt_save(path, fp, x64, k_done, parts, t_spent):
+    import os
+
+    F_parts, SP_parts, SN_parts, T_parts = parts
+    payload = dict(
+        __v=np.asarray(_CKPT_VERSION), __fp=np.asarray(fp),
+        __k=np.asarray(k_done), __t=np.asarray(t_spent), x=x64,
+        F=(np.concatenate(F_parts) if F_parts else np.zeros(0)),
+        SP=(np.concatenate(SP_parts) if SP_parts else np.zeros(0)),
+        SN=(np.concatenate(SN_parts) if SN_parts else np.zeros(0)),
+        T=(np.concatenate(T_parts) if T_parts else np.zeros(0)),
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _pallas_ckpt_load(path, fp):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if int(z["__v"]) != _CKPT_VERSION:
+            raise ValueError(f"pallas checkpoint {path!r}: incompatible "
+                             "version; delete it to start fresh")
+        if str(z["__fp"]) != fp:
+            raise ValueError(
+                f"pallas checkpoint {path!r} was saved by a different solve "
+                f"({z['__fp']}); refusing to resume as {fp}")
+        return (z["x"].copy(), int(z["__k"]), float(z["__t"]),
+                [z["F"].copy()], [z["SP"].copy()], [z["SN"].copy()],
+                [z["T"].copy()])
+
+
 def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
-                   chunk=None, refresh_every=0, interpret=False):
+                   chunk=None, refresh_every=0, interpret=False,
+                   checkpoint=None):
     """D-opt Frank-Wolfe(-away) with the whole iteration fused in one Pallas
     kernel (double-single precision).  Same contract as D_opt_FW_away:
     returns ``(x, F, SP, SN, T)`` truncated at the stopping iteration.
@@ -542,6 +581,15 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
     iterations (at chunk boundaries) — belt-and-braces against DS drift on
     very long runs; the DS updates alone hold ~1e-12.
     ``interpret``: run the kernel in the Pallas interpreter (CPU testing).
+
+    ``checkpoint``: path of an ``.npz`` snapshot saved at every
+    launch-block boundary (the iterate x + histories + progress; the
+    device-resident H/w/logdet are REBUILT from x by a fresh host-f64
+    factorization on resume).  Resume therefore equals inserting a
+    ``refresh_every`` boundary at the interruption point: the continued
+    trajectory matches the uninterrupted one at the refresh level
+    (~1e-12 DS drift reset), not bitwise — use ``u_mode="ds"`` when
+    bitwise-exact resume matters (driver.py checkpoints).
     """
     V64 = np.asarray(V, np.float64)
     m, n = V64.shape
@@ -589,8 +637,37 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
         print("     k      F(x)     pos_slack   neg_slack    time")
 
     F_parts, SP_parts, SN_parts, T_parts = [], [], [], []
-    t0 = time.time()
     k_done = 0
+    t_prev = 0.0
+    ckpt_fp = (f"dopt_fw_pallas|m={m}|n={n}|away={bool(away)}"
+               f"|eps={float(eps)!r}")
+    if checkpoint is not None:
+        loaded = _pallas_ckpt_load(checkpoint, ckpt_fp)
+        if loaded is not None:
+            (x64c, k_done, t_prev, F_parts, SP_parts, SN_parts,
+             T_parts) = loaded
+            if x64c.shape != (n,):
+                raise ValueError(
+                    f"pallas checkpoint {checkpoint!r}: iterate length "
+                    f"{x64c.shape} does not match n={n}")
+            # resume = refresh at the interruption point: rebuild the
+            # device state from a fresh host-f64 factorization of x
+            H, w, logdet = _factorize_np(V64, x64c)
+            xs = _split64(_pad2(x64c[None, :], (1, NP)))
+            state = {
+                "x": tuple(jnp.asarray(a) for a in xs),
+                "w": tuple(jnp.asarray(a) for a in _split64(
+                    _pad2(w[None, :], (1, NP)))),
+                "H": tuple(jnp.asarray(a) for a in _split64(
+                    _pad2(H, (MP, MP)))),
+                "ld": logdet,
+                "done": 0.0,
+            }
+            if (SP_parts[0].size
+                    and SP_parts[0][-1] <= np.float32(eps)
+                    and SN_parts[0][-1] <= np.float32(eps)):
+                k_done = maxitrs  # saved run already converged: no launch
+    t0 = time.time() - t_prev
     since_refresh = 0
     scal_dev = None
     scal_val = None
@@ -654,6 +731,12 @@ def dopt_fw_pallas(V, x0, eps, maxitrs, away=True, verbose=True, verbskip=1,
         state["done"] = float(misc[0])
         k_done += nv
         since_refresh += nv
+        if checkpoint is not None:
+            x64c = (xh[0, :n].astype(np.float64)
+                    + xl[0, :n].astype(np.float64))
+            _pallas_ckpt_save(checkpoint, ckpt_fp, x64c, k_done,
+                              (F_parts, SP_parts, SN_parts, T_parts),
+                              time.time() - t0)
         if misc[0] > 0.5 or nv == 0:
             break
         if refresh_every and since_refresh >= refresh_every:

@@ -81,11 +81,12 @@ def simplex_inv_multiplier_pallas(gg, interpret=False):
     return out[0, 0]
 
 
-def use_pallas_simplex(x) -> bool:
-    """Dispatch rule: pallas path for unsharded f32 on a TPU backend."""
-    try:
-        return (jax.default_backend() == "tpu"
-                and jnp.result_type(x) == jnp.float32
-                and x.ndim == 1)
-    except Exception:
-        return False
+# An auto-dispatch helper (``use_pallas_simplex``) existed through round 2
+# but nothing routed through it — deleted (round-2 verdict item 6).  The
+# measured verdict stands: at the isolated-prox level the kernel TIES the
+# XLA while_loop (~70 us both, in-scan n=1000 f32 on v5e — fixed per-call
+# latency dominates), so automatic routing buys nothing; the win that
+# materialized instead is the whole-iteration fused kernel
+# (ops/pallas_dopt.py), which amortizes the launch across the entire step
+# body.  ``BurgEntropySimplex(use_pallas=True)`` remains the explicit
+# opt-in for this building block.

@@ -138,3 +138,35 @@ def test_dopt_sweep_figure():
         assert r["per_eps"][1e-3]["geomean"] <= r["per_eps"][1e-4]["geomean"] \
             or np.isnan(r["per_eps"][1e-4]["geomean"])
 
+
+
+def test_dopt_sweep_full_reduced():
+    import ex_Dopt_sweep_full
+
+    res = ex_Dopt_sweep_full.run_study(60, [8, 12], K=2, Nmax=800,
+                                       verbose=False)
+    for name, rows in res["methods"].items():
+        for m, r in rows.items():
+            # the away method reaches at least the loosest target within
+            # the reduced budget; plain FW may cap (reference convention)
+            v = r["iters_to_eps"]["0.001"]
+            assert np.isfinite(v) and v >= 1
+        if name == "FW-away":
+            assert all(r["iters_to_eps"]["1e-06"] <= 801
+                       for r in rows.values())
+
+
+def test_fw_l0l1_a9a_smoke():
+    import os
+
+    import ex_fw_l0l1_a9a
+
+    if not any(p and os.path.exists(p)
+               for p in ex_fw_l0l1_a9a._A9A_CANDIDATES):
+        import pytest
+
+        pytest.skip("a9a dataset not available")
+    out = ex_fw_l0l1_a9a.start(maxitrs=12, plot=False, verbose=False)
+    for curves in out.values():
+        for F in curves.values():
+            assert F[-1] <= F[0] + 1e-9

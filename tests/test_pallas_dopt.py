@@ -45,6 +45,50 @@ def test_away_certifies_slack_1e8_fresh_f64():
     assert 1 - w[xs > 1e-8].min() / m <= 2e-8
 
 
+def test_checkpoint_resume(tmp_path):
+    """Round-2 verdict item 7: the pallas engine snapshots the iterate at
+    launch-block boundaries; resume re-factorizes from x (== inserting a
+    refresh at the interruption point) and the continued run certifies
+    the same slack target with a refresh-grade-matching objective."""
+    V, x0 = _problem(m=18, n=256, seed=4)
+    ck = str(tmp_path / "pallas.npz")
+    # uninterrupted reference
+    x_u, F_u, SP_u, SN_u, _ = dopt_fw_pallas(
+        V, x0, eps=1e-8, maxitrs=6000, away=True, verbose=False, chunk=512,
+        interpret=True)
+    # interrupted: budget below convergence, then resume with full budget
+    x_1, F_1, *_ = dopt_fw_pallas(
+        V, x0, eps=1e-8, maxitrs=1024, away=True, verbose=False, chunk=512,
+        interpret=True, checkpoint=ck)
+    assert len(F_1) == 1024
+    x_2, F_2, SP_2, SN_2, _ = dopt_fw_pallas(
+        V, x0, eps=1e-8, maxitrs=6000, away=True, verbose=False, chunk=512,
+        interpret=True, checkpoint=ck)
+    # the resumed history CONTAINS the pre-interruption rows
+    np.testing.assert_array_equal(F_2[:1024], F_1)
+    assert SP_2[-1] <= 1e-8 and SN_2[-1] <= 1e-8
+    # fresh-f64 certification of the resumed final iterate
+    xs = x_2 / x_2.sum()
+    _, w, _ = _factorize_np(V, xs)
+    m = V.shape[0]
+    assert w.max() / m - 1 <= 2e-8
+    assert 1 - w[xs > 1e-8].min() / m <= 2e-8
+    # refresh-level agreement with the uninterrupted run
+    assert abs(F_2[-1] - F_u[-1]) < 1e-6
+    # a THIRD call on the converged checkpoint returns without launching
+    x_3, F_3, *_ = dopt_fw_pallas(
+        V, x0, eps=1e-8, maxitrs=6000, away=True, verbose=False, chunk=512,
+        interpret=True, checkpoint=ck)
+    assert len(F_3) == len(F_2)
+    np.testing.assert_allclose(x_3, x_2, atol=0)
+
+    # fingerprint guard: a different solve config must refuse to resume
+    with pytest.raises(ValueError, match="different solve"):
+        dopt_fw_pallas(V, x0, eps=1e-6, maxitrs=100, away=True,
+                       verbose=False, chunk=512, interpret=True,
+                       checkpoint=ck)
+
+
 def test_plain_fw_matches_f64_scan():
     V, x0 = _problem(m=15, n=200, seed=7)
     x_r, F_r, SP_r, SN_r, T_r = acc.D_opt_FW(
