@@ -442,6 +442,7 @@ class _ABPGCfg(NamedTuple):
     restart: bool
     restart_rule: str
     stochastic: bool = False
+    gamma2: bool = False  # static gamma == 2 (DS engine: sq instead of pow)
 
 
 def _abpg_theta(cfg, prob, c):
@@ -555,7 +556,47 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
     ``fast_gram=True``: stateful linear-Gram step for D-opt oracles (see
     ``ABPG_gain``) — zero full oracle evaluations per iteration beyond the
     one Gram of the fresh prox point.
+
+    ``fast_gram="ds"``: the DOUBLE-SINGLE engine (see ``BPG``); oracle
+    ``DOptimalObjDS.from_design(H)``, h ``BurgEntropySimplex``.
     """
+    if fast_gram == "ds":
+        from ..ops import double_single as dsl
+
+        _fg.require_fast_gram_ds(f, h)
+        x0_ds = _as_ds(x0)
+        st = _fg.init_state_ds(f, x0_ds)
+        carry = dict(done=jnp.asarray(False), Minv=st["M0"],
+                     kk=jnp.asarray(0, jnp.int32))
+        _dsp(carry, "x", x0_ds)
+        _dsp(carry, "z", x0_ds)
+        _dsp(carry, "theta", dsl.from_f64(1.0))
+        _dsp(carry, "F_prev", dsl.from_f32(jnp.asarray(jnp.inf, jnp.float32)))
+        _dsp(carry, "Gx", st["G0"])
+        _dsp(carry, "Gz", st["G0"])
+        _dsp(carry, "fx", dsl.neg(st["ld0"]))
+        _dsp(carry, "cpx", dsl.from_f32(jnp.asarray(-jnp.inf, jnp.float32)))
+        prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, jnp.float32))
+        _dsp(prob, "L", dsl.from_f64(float(L)))
+        _dsp(prob, "gamma", dsl.from_f64(float(gamma)))
+        header = ("\nABPG method for minimize_{x in C} F(x) = f(x) + Psi(x)\n"
+                  "     k      F(x)       theta        TSG       D(x+,y)     D(z+,z)     time")
+
+        def row(k, r, t):
+            print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
+                k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
+
+        cfg = _ABPGCfg(theta_eq=bool(theta_eq), restart=bool(restart),
+                       restart_rule=str(restart_rule),
+                       gamma2=(float(gamma) == 2.0))
+        carry, hist, T = run_driver(
+            _abpg_dopt_step_ds, carry, maxitrs, verbose=verbose,
+            verbskip=verbskip, header=header, print_row=row, chunk=chunk,
+            checkpoint=checkpoint, problem=prob, cfg=cfg,
+            between_chunks=_dopt_state_refresh_ds(f))
+        x, F = _ds_wrap_returns(carry, hist)
+        return x, F, hist["G"], T
+
     x0 = jnp.asarray(x0)
     dt = x0.dtype
     prob = dict(f=f, h=h, L=jnp.asarray(L, dt),
@@ -590,6 +631,87 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
                                 checkpoint=checkpoint, problem=prob, cfg=cfg,
                                 between_chunks=between_chunks)
     return carry["x"], hist["F"], hist["G"], T
+
+
+def _abpg_dopt_step_ds(cfg, prob, c, k):
+    """Plain ABPG fast-gram step, DOUBLE-SINGLE engine (fast_gram="ds");
+    mirrors ``_abpg_dopt_step`` with DS carries (see
+    ``_abpg_gain_dopt_step_ds``)."""
+    from ..ops import double_single as dsl
+
+    f, h = prob["f"], prob["h"]
+    L, gam = _dsg(prob, "L"), _dsg(prob, "gamma")
+    eps = prob["eps"]
+    x, z, kk = _dsg(c, "x"), _dsg(c, "z"), c["kk"]
+    Gx, Gz = _dsg(c, "Gx"), _dsg(c, "Gz")
+    fx = _dsg(c, "fx")
+    ld_x = dsl.neg(fx)
+    Fk = fx
+    dt32 = jnp.float32
+    one = dsl.from_f32(jnp.ones_like(x[0][0]))
+    gm1 = dsl.add_f32(gam, dt32(-1.0))
+    if cfg.gamma2:
+        pow_gm1 = lambda t: t  # noqa: E731
+    else:
+        def pow_gm1(t):
+            return dsl.exp(dsl.mul(gm1, dsl.log(t)))
+
+    if cfg.theta_eq:
+        th = solve_theta_ds(_dsg(c, "theta"), gam, square_gamma=cfg.gamma2)
+        theta = dsl.where(kk > 0, th, one)
+    else:
+        kkf = dsl.from_f32(kk.astype(dt32))
+        theta = dsl.div(gam, dsl.add(kkf, gam))
+
+    omt = dsl.sub(one, theta)
+    y = _ds_combine(x, omt, z, theta)
+    Gy = _ds_combine(Gx, omt, Gz, theta)
+    M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
+    ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
+    g = f.grad_from_inv_ds(Mds)
+    Lt = dsl.mul(pow_gm1(theta), L)
+    z_new, cpx = h.div_prox_map_ds_warm(z, g, Lt, _dsg(c, "cpx"))
+    x_new = _ds_combine(x, omt, z_new, theta)
+    Gz_new = f.gram_ds(z_new)
+    Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
+    ld_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds, Gx_new,
+                                         Gx_new)[0]
+
+    gd, dxy, dzz = dsl.sum_many([dsl.mul(g, dsl.sub(x_new, x)),
+                                 h.divergence_terms_ds(x_new, y),
+                                 h.divergence_terms_ds(z_new, z)])
+    thg = dsl.sq(theta) if cfg.gamma2 else dsl.exp(dsl.mul(gam,
+                                                           dsl.log(theta)))
+    Gdr = dsl.div(dsl.div(dxy, dzz), thg)
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        # gradient rule uses <g, x_new - x> (the fused gd above); the
+        # function rule compares against F_prev — both gated k > 0 like
+        # the f64 plain-ABPG step (k_guard=True)
+        if cfg.restart_rule == 'f':
+            trig = dsl.lt(_dsg(c, "F_prev"), Fk)
+        else:
+            trig = dsl.lt(dsl.from_f32(jnp.zeros_like(Fk[0])), gd)
+        trig = (k > 0) & trig
+        theta_c = dsl.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = dsl.where(trig, x_new, z_new)
+        Gz_new = dsl.where(trig, Gx_new, Gz_new)
+
+    stop = dzz[0] < eps
+    c2 = dict(done=c["done"], kk=kk, Minv=M32)
+    _dsp(c2, "x", x_new)
+    _dsp(c2, "z", z_new)
+    _dsp(c2, "theta", theta_c)
+    _dsp(c2, "F_prev", Fk)
+    _dsp(c2, "Gx", Gx_new)
+    _dsp(c2, "Gz", Gz_new)
+    _dsp(c2, "fx", dsl.neg(ld_xn))
+    _dsp(c2, "cpx", cpx)
+    return c2, dict(F=Fk[0], F_lo=Fk[1], G=Gdr[0], theta=theta[0],
+                    dxy=dxy[0] + dxy[1], dzz=dzz[0] + dzz[1], _stop=stop)
 
 
 # ---------------------------------------------------------------------------
@@ -734,6 +856,110 @@ def _abpg_expo_dopt_step(cfg, prob, c, k):
                     dzz=dzz, _stop=stop)
 
 
+def _abpg_expo_dopt_step_ds(cfg, prob, c, k):
+    """ABPG_expo fast-gram step, DOUBLE-SINGLE engine (fast_gram="ds");
+    mirrors ``_abpg_expo_dopt_step``.  gamma ADAPTS at runtime, so powers
+    go through the general DS exp/log path (no static gamma-2 shortcut)."""
+    from ..ops import double_single as dsl
+
+    f, h = prob["f"], prob["h"]
+    L = _dsg(prob, "L")
+    delta_g, Gmargin = _dsg(prob, "delta"), _dsg(prob, "Gmargin")
+    eps = prob["eps"]
+    x, z, kk = _dsg(c, "x"), _dsg(c, "z"), c["kk"]
+    gamma = _dsg(c, "gamma")
+    Gx, Gz = _dsg(c, "Gx"), _dsg(c, "Gz")
+    fx = _dsg(c, "fx")
+    ld_x = dsl.neg(fx)
+    Fk = fx
+    dt32 = jnp.float32
+    one = dsl.from_f32(jnp.ones_like(x[0][0]))
+    acc_delta = jnp.float32(getattr(f, "accept_tol", 0.0)) * (
+        1.0 + jnp.abs(fx[0]))
+
+    def powg(t, g):
+        return dsl.exp(dsl.mul(g, dsl.log(t)))
+
+    if cfg.theta_eq:
+        th = solve_theta_ds(_dsg(c, "theta"), gamma)
+        theta = dsl.where(kk > 0, th, one)
+    else:
+        kkf = dsl.from_f32(kk.astype(dt32))
+        theta = dsl.div(gamma, dsl.add(kkf, gamma))
+
+    omt = dsl.sub(one, theta)
+    y = _ds_combine(x, omt, z, theta)
+    Gy = _ds_combine(Gx, omt, Gz, theta)
+    M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
+    ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
+    g = f.grad_from_inv_ds(Mds)
+    cpx0 = _dsg(c, "cpx")
+
+    def attempt(gm):
+        gm1 = dsl.add_f32(gm, dt32(-1.0))
+        Lt = dsl.mul(powg(theta, gm1), L)
+        z_new, cpx = h.div_prox_map_ds_warm(z, g, Lt, cpx0)
+        x_new = _ds_combine(x, omt, z_new, theta)
+        Gz_new = f.gram_ds(z_new)
+        Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
+        ld_xn, s_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds,
+                                                   Gx_new, Gx_new)
+        gd, dxy, dzz = dsl.sum_many([dsl.mul(g, dsl.sub(x_new, y)),
+                                     h.divergence_terms_ds(x_new, y),
+                                     h.divergence_terms_ds(z_new, z)])
+        thg = powg(theta, gm)
+        Gdr = dsl.div(dsl.div(dxy, dzz), thg)
+        if cfg.checkdiv:
+            fail = ~dsl.le(dxy, dsl.mul(dsl.mul(Gmargin, thg), dzz))
+        else:
+            rhs = dsl.add_f32(
+                dsl.add(gd, dsl.mul(dsl.mul(thg, L), dzz)), acc_delta)
+            fail = ~dsl.le(dsl.neg(s_xn), rhs)
+        return dict(gamma=gm, z=z_new, x=x_new, Gz=Gz_new, Gx=Gx_new,
+                    fxn=dsl.neg(ld_xn), dxy=dxy, dzz=dzz, Gdr=Gdr,
+                    cpx=cpx, fail=fail)
+
+    s = attempt(gamma)
+    s = lax.while_loop(
+        lambda s: s["fail"] & (s["gamma"][0] > 1.0),
+        lambda s: attempt(dsl.where(
+            dsl.lt(dsl.sub(s["gamma"], delta_g), one), one,
+            dsl.sub(s["gamma"], delta_g))),
+        s,
+    )
+    gamma, z_new, x_new = s["gamma"], s["z"], s["x"]
+    Gz_new, Gx_new = s["Gz"], s["Gx"]
+    dxy, dzz, Gdr = s["dxy"], s["dzz"], s["Gdr"]
+
+    kk = kk + 1
+    theta_c = theta
+    if cfg.restart:
+        if cfg.restart_rule == 'f':
+            trig = dsl.lt(_dsg(c, "F_prev"), Fk)
+        else:
+            trig = dsl.lt(dsl.from_f32(jnp.zeros_like(Fk[0])),
+                          dsl.dot(g, dsl.sub(x_new, x)))
+        theta_c = dsl.where(trig, one, theta)
+        kk = jnp.where(trig, 0, kk)
+        z_new = dsl.where(trig, x_new, z_new)
+        Gz_new = dsl.where(trig, Gx_new, Gz_new)
+
+    stop = dzz[0] < eps
+    c2 = dict(done=c["done"], kk=kk, Minv=M32)
+    _dsp(c2, "x", x_new)
+    _dsp(c2, "z", z_new)
+    _dsp(c2, "theta", theta_c)
+    _dsp(c2, "gamma", gamma)
+    _dsp(c2, "F_prev", Fk)
+    _dsp(c2, "Gx", Gx_new)
+    _dsp(c2, "Gz", Gz_new)
+    _dsp(c2, "fx", s["fxn"])
+    _dsp(c2, "cpx", s["cpx"])
+    return c2, dict(F=Fk[0], F_lo=Fk[1], Gamma=gamma[0], G=Gdr[0],
+                    theta=theta[0], dxy=dxy[0] + dxy[1],
+                    dzz=dzz[0] + dzz[1], _stop=stop)
+
+
 def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
               theta_eq=True, checkdiv=False, Gmargin=10, restart=False,
               restart_rule='g', verbose=True, verbskip=1, chunk=None,
@@ -747,7 +973,50 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
     history slot F[-1] == 0 (algorithms.py:268), so it restarts at k=0
     whenever F[0] > 0.  Here F_prev starts at +inf and the k=0 comparison
     never triggers — restarts react to actual objective increases only.
+
+    ``fast_gram="ds"``: the DOUBLE-SINGLE engine (see ``BPG``); oracle
+    ``DOptimalObjDS.from_design(H)``, h ``BurgEntropySimplex``.
     """
+    if fast_gram == "ds":
+        from ..ops import double_single as dsl
+
+        _fg.require_fast_gram_ds(f, h)
+        x0_ds = _as_ds(x0)
+        st = _fg.init_state_ds(f, x0_ds)
+        carry = dict(done=jnp.asarray(False), Minv=st["M0"],
+                     kk=jnp.asarray(0, jnp.int32))
+        _dsp(carry, "x", x0_ds)
+        _dsp(carry, "z", x0_ds)
+        _dsp(carry, "theta", dsl.from_f64(1.0))
+        _dsp(carry, "gamma", dsl.from_f64(float(gamma0)))
+        _dsp(carry, "F_prev", dsl.from_f32(jnp.asarray(jnp.inf, jnp.float32)))
+        _dsp(carry, "Gx", st["G0"])
+        _dsp(carry, "Gz", st["G0"])
+        _dsp(carry, "fx", dsl.neg(st["ld0"]))
+        _dsp(carry, "cpx", dsl.from_f32(jnp.asarray(-jnp.inf, jnp.float32)))
+        prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, jnp.float32))
+        _dsp(prob, "L", dsl.from_f64(float(L)))
+        _dsp(prob, "delta", dsl.from_f64(float(delta)))
+        _dsp(prob, "Gmargin", dsl.from_f64(float(Gmargin)))
+        header = ("\nABPG_expo method for min_{x in C} F(x) = f(x) + Psi(x)\n"
+                  "     k      F(x)       theta       gamma        TSG       D(x+,y)     D(z+,z)     time")
+
+        def row(k, r, t):
+            print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:10.3e}  {7:6.1f}".format(
+                k, r["F"], r["theta"], r["Gamma"], r["G"], r["dxy"],
+                r["dzz"], t))
+
+        cfg = _ABPGExpoCfg(theta_eq=bool(theta_eq), checkdiv=bool(checkdiv),
+                           restart=bool(restart),
+                           restart_rule=str(restart_rule))
+        carry, hist, T = run_driver(
+            _abpg_expo_dopt_step_ds, carry, maxitrs, verbose=verbose,
+            verbskip=verbskip, header=header, print_row=row, chunk=chunk,
+            checkpoint=checkpoint, problem=prob, cfg=cfg,
+            between_chunks=_dopt_state_refresh_ds(f))
+        x, F = _ds_wrap_returns(carry, hist)
+        return x, F, hist["Gamma"], hist["G"], T
+
     x0 = jnp.asarray(x0)
     dt = x0.dtype
     prob = dict(f=f, h=h, L=jnp.asarray(L, dt), eps=jnp.asarray(epsilon, dt),
@@ -1263,6 +1532,7 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
 class _ABDACfg(NamedTuple):
     theta_eq: bool
     stochastic: bool = False
+    gamma2: bool = False  # static gamma == 2 (DS engine: sq instead of pow)
 
 
 def _abda_step(cfg, prob, c, k):
@@ -1345,6 +1615,75 @@ def _abda_dopt_step(cfg, prob, c, k):
     return c2, dict(F=Fk, G=Gdr, theta=theta, dxy=dxy, dzz=dzz, _stop=stop)
 
 
+def _abda_dopt_step_ds(cfg, prob, c, k):
+    """ABDA fast-gram step, DOUBLE-SINGLE engine (fast_gram="ds"); mirrors
+    ``_abda_dopt_step`` — dual-averaged DS gradient accumulator and the
+    PRIMAL DS prox (see ``_abpg_gain_dopt_step_ds`` for the machinery)."""
+    from ..ops import double_single as dsl
+
+    f, h = prob["f"], prob["h"]
+    L, gam = _dsg(prob, "L"), _dsg(prob, "gamma")
+    eps = prob["eps"]
+    x, z, kk = _dsg(c, "x"), _dsg(c, "z"), c["kk"]
+    Gx, Gz = _dsg(c, "Gx"), _dsg(c, "Gz")
+    fx = _dsg(c, "fx")
+    ld_x = dsl.neg(fx)
+    Fk = fx
+    dt32 = jnp.float32
+    one = dsl.from_f32(jnp.ones_like(x[0][0]))
+
+    if cfg.theta_eq:
+        th = solve_theta_ds(_dsg(c, "theta"), gam, square_gamma=cfg.gamma2)
+        theta = dsl.where(kk > 0, th, one)
+    else:
+        kkf = dsl.from_f32(kk.astype(dt32))
+        theta = dsl.div(gam, dsl.add(kkf, gam))
+
+    omt = dsl.sub(one, theta)
+    y = _ds_combine(x, omt, z, theta)
+    Gy = _ds_combine(Gx, omt, Gz, theta)
+    M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
+    g = f.grad_from_inv_ds(Mds)
+    # w = theta^(1-gamma): for gamma == 2 exactly 1/theta
+    if cfg.gamma2:
+        w = dsl.div(one, theta)
+    else:
+        gm1 = dsl.add_f32(gam, dt32(-1.0))
+        w = dsl.exp(dsl.neg(dsl.mul(gm1, dsl.log(theta))))
+    gavg = dsl.add(_dsg(c, "gavg"), dsl.mul(g, _ds_bc(w, g)))
+    csum = dsl.add(_dsg(c, "csum"), w)
+    z_new, cpx = h.prox_map_ds_warm(
+        dsl.div(gavg, _ds_bc(csum, gavg)), dsl.div(L, csum),
+        _dsg(c, "cpx"))
+    x_new = _ds_combine(x, omt, z_new, theta)
+    Gz_new = f.gram_ds(z_new)
+    Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
+    ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
+    ld_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds, Gx_new,
+                                         Gx_new)[0]
+
+    dxy, dzz = dsl.sum_many([h.divergence_terms_ds(x_new, y),
+                             h.divergence_terms_ds(z_new, z)])
+    thg = dsl.sq(theta) if cfg.gamma2 else dsl.exp(dsl.mul(gam,
+                                                           dsl.log(theta)))
+    Gdr = dsl.div(dsl.div(dxy, dzz), thg)
+    stop = dzz[0] < eps
+
+    c2 = dict(done=c["done"], kk=kk + 1, Minv=M32)
+    _dsp(c2, "x", x_new)
+    _dsp(c2, "z", z_new)
+    _dsp(c2, "theta", theta)
+    _dsp(c2, "gavg", gavg)
+    _dsp(c2, "csum", csum)
+    _dsp(c2, "F_prev", Fk)
+    _dsp(c2, "Gx", Gx_new)
+    _dsp(c2, "Gz", Gz_new)
+    _dsp(c2, "fx", dsl.neg(ld_xn))
+    _dsp(c2, "cpx", cpx)
+    return c2, dict(F=Fk[0], F_lo=Fk[1], G=Gdr[0], theta=theta[0],
+                    dxy=dxy[0] + dxy[1], dzz=dzz[0] + dzz[1], _stop=stop)
+
+
 def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
          verbose=True, verbskip=1, chunk=None, checkpoint=None,
          fast_gram=False, seed=None):
@@ -1355,7 +1694,51 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
 
     ``fast_gram=True``: stateful linear-Gram step for D-opt oracles (see
     ``ABPG_gain``).
+
+    ``fast_gram="ds"``: the DOUBLE-SINGLE engine (see ``BPG``); oracle
+    ``DOptimalObjDS.from_design(H)``, h ``BurgEntropySimplex``.
     """
+    if fast_gram == "ds":
+        from ..ops import double_single as dsl
+
+        _fg.require_fast_gram_ds(f, h)
+        if not hasattr(h, "prox_map_ds_warm"):
+            raise ValueError("ABDA fast_gram='ds' needs an h-oracle with a "
+                             "DS primal prox (BurgEntropySimplex)")
+        x0_ds = _as_ds(x0)
+        st = _fg.init_state_ds(f, x0_ds)
+        carry = dict(done=jnp.asarray(False), Minv=st["M0"],
+                     kk=jnp.asarray(0, jnp.int32))
+        _dsp(carry, "x", x0_ds)
+        _dsp(carry, "z", x0_ds)
+        _dsp(carry, "theta", dsl.from_f64(1.0))
+        _dsp(carry, "gavg", dsl.from_f32(jnp.zeros_like(x0_ds[0])))
+        _dsp(carry, "csum", dsl.from_f64(0.0))
+        _dsp(carry, "F_prev", dsl.from_f32(jnp.asarray(jnp.inf, jnp.float32)))
+        _dsp(carry, "Gx", st["G0"])
+        _dsp(carry, "Gz", st["G0"])
+        _dsp(carry, "fx", dsl.neg(st["ld0"]))
+        _dsp(carry, "cpx", dsl.from_f32(jnp.asarray(-jnp.inf, jnp.float32)))
+        prob = dict(f=f, h=h, eps=jnp.asarray(epsilon, jnp.float32))
+        _dsp(prob, "L", dsl.from_f64(float(L)))
+        _dsp(prob, "gamma", dsl.from_f64(float(gamma)))
+        header = ("\nABDA method for min_{x in C} F(x) = f(x) + Psi(x)\n"
+                  "     k      F(x)       theta        TSG       D(x+,y)     D(z+,z)     time")
+
+        def row(k, r, t):
+            print("{0:6d}  {1:10.3e}  {2:10.3e}  {3:10.3e}  {4:10.3e}  {5:10.3e}  {6:6.1f}".format(
+                k, r["F"], r["theta"], r["G"], r["dxy"], r["dzz"], t))
+
+        cfg = _ABDACfg(theta_eq=bool(theta_eq),
+                       gamma2=(float(gamma) == 2.0))
+        carry, hist, T = run_driver(
+            _abda_dopt_step_ds, carry, maxitrs, verbose=verbose,
+            verbskip=verbskip, header=header, print_row=row, chunk=chunk,
+            checkpoint=checkpoint, problem=prob, cfg=cfg,
+            between_chunks=_dopt_state_refresh_ds(f))
+        x, F = _ds_wrap_returns(carry, hist)
+        return x, F, hist["G"], T
+
     x0 = jnp.asarray(x0)
     dt = x0.dtype
     prob = dict(f=f, h=h, L=jnp.asarray(L, dt),

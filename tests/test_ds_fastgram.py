@@ -183,6 +183,47 @@ class TestDSTrajectory:
         # identical gain line-search decisions
         assert np.max(np.abs(np.asarray(Gr) - np.asarray(Gd))) < 1e-5
 
+    def test_abpg_ds_tracks_f64(self, problem):
+        f64o, fds, h, L, x064, H64 = problem
+        xr, Fr, Gr, _ = acc.ABPG(f64o, h, L, jnp.asarray(x064), gamma=2,
+                                 maxitrs=200, verbose=False, fast_gram=True)
+        xd, Fd, Gd, _ = acc.ABPG(fds, h, L, x064, gamma=2, maxitrs=200,
+                                 verbose=False, fast_gram="ds")
+        assert np.max(np.abs(np.asarray(Fr) - Fd)) < 1e-8
+        assert np.max(np.abs(np.asarray(xr) - xd)) < 1e-9
+
+    def test_abpg_restart_ds_tracks_f64(self, problem):
+        f64o, fds, h, L, x064, H64 = problem
+        xr, Fr, Gr, _ = acc.ABPG(f64o, h, L, jnp.asarray(x064), gamma=2,
+                                 maxitrs=150, restart=True, restart_rule="g",
+                                 verbose=False, fast_gram=True)
+        xd, Fd, Gd, _ = acc.ABPG(fds, h, L, x064, gamma=2, maxitrs=150,
+                                 restart=True, restart_rule="g",
+                                 verbose=False, fast_gram="ds")
+        assert np.max(np.abs(np.asarray(Fr) - Fd)) < 1e-8
+
+    def test_abda_ds_tracks_f64(self, problem):
+        f64o, fds, h, L, x064, H64 = problem
+        xr, Fr, Gr, _ = acc.ABDA(f64o, h, L, jnp.asarray(x064), gamma=2,
+                                 maxitrs=150, verbose=False, fast_gram=True)
+        xd, Fd, Gd, _ = acc.ABDA(fds, h, L, x064, gamma=2, maxitrs=150,
+                                 verbose=False, fast_gram="ds")
+        assert np.max(np.abs(np.asarray(Fr) - Fd)) < 1e-8
+        assert np.max(np.abs(np.asarray(xr) - xd)) < 1e-9
+
+    def test_abpg_expo_ds_tracks_f64(self, problem):
+        f64o, fds, h, L, x064, H64 = problem
+        xr, Fr, Gmr, Gr, _ = acc.ABPG_expo(f64o, h, L, jnp.asarray(x064),
+                                           gamma0=3.0, maxitrs=150,
+                                           verbose=False, fast_gram=True)
+        xd, Fd, Gmd, Gd, _ = acc.ABPG_expo(fds, h, L, x064, gamma0=3.0,
+                                           maxitrs=150, verbose=False,
+                                           fast_gram="ds")
+        assert np.max(np.abs(np.asarray(Fr) - Fd)) < 1e-7
+        # identical gamma-adaption decisions
+        np.testing.assert_allclose(np.asarray(Gmr), np.asarray(Gmd),
+                                   atol=1e-9)
+
     def test_requires_ds_protocol(self, problem):
         f64o, fds, h, L, x064, _ = problem
         with pytest.raises(ValueError, match="fast_gram='ds'"):
