@@ -371,6 +371,14 @@ def BPG(f, h, L, x0, maxitrs, epsilon=1e-14, linesearch=True, ls_ratio=1.2,
         from ..ops import double_single as dsl
 
         _fg.require_fast_gram_ds(f, h)
+        if chunk is None:
+            # DS solves are latency-sensitive: every chunk boundary pays a
+            # host round trip (launch + history fetch + state refresh),
+            # ~30 ms each through the axon tunnel — at the default 256
+            # chunk a 9000-iteration solve spent ~2 s on 35 boundaries.
+            # The DS per-chunk drift is ~1e-13/step, so 1024-step chunks
+            # keep the refresh guarantee comfortably.
+            chunk = max(int(verbskip), 1024)
         x0_ds = _as_ds(x0)
         st = _fg.init_state_ds(f, x0_ds)
         carry = dict(done=jnp.asarray(False), Minv=st["M0"])
@@ -564,6 +572,14 @@ def ABPG(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=False,
         from ..ops import double_single as dsl
 
         _fg.require_fast_gram_ds(f, h)
+        if chunk is None:
+            # DS solves are latency-sensitive: every chunk boundary pays a
+            # host round trip (launch + history fetch + state refresh),
+            # ~30 ms each through the axon tunnel — at the default 256
+            # chunk a 9000-iteration solve spent ~2 s on 35 boundaries.
+            # The DS per-chunk drift is ~1e-13/step, so 1024-step chunks
+            # keep the refresh guarantee comfortably.
+            chunk = max(int(verbskip), 1024)
         x0_ds = _as_ds(x0)
         st = _fg.init_state_ds(f, x0_ds)
         carry = dict(done=jnp.asarray(False), Minv=st["M0"],
@@ -667,15 +683,14 @@ def _abpg_dopt_step_ds(cfg, prob, c, k):
     y = _ds_combine(x, omt, z, theta)
     Gy = _ds_combine(Gx, omt, Gz, theta)
     M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
-    ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
     g = f.grad_from_inv_ds(Mds)
     Lt = dsl.mul(pow_gm1(theta), L)
     z_new, cpx = h.div_prox_map_ds_warm(z, g, Lt, _dsg(c, "cpx"))
     x_new = _ds_combine(x, omt, z_new, theta)
     Gz_new = f.gram_ds(z_new)
     Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
-    ld_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds, Gx_new,
-                                         Gx_new)[0]
+    ld_y, ld_xn, _ = _fg.anchored_shift_pair_ds(f, ld_x, Mds, Gx, Gy,
+                                                Gx_new)
 
     gd, dxy, dzz = dsl.sum_many([dsl.mul(g, dsl.sub(x_new, x)),
                                  h.divergence_terms_ds(x_new, y),
@@ -891,7 +906,6 @@ def _abpg_expo_dopt_step_ds(cfg, prob, c, k):
     y = _ds_combine(x, omt, z, theta)
     Gy = _ds_combine(Gx, omt, Gz, theta)
     M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
-    ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
     g = f.grad_from_inv_ds(Mds)
     cpx0 = _dsg(c, "cpx")
 
@@ -902,8 +916,8 @@ def _abpg_expo_dopt_step_ds(cfg, prob, c, k):
         x_new = _ds_combine(x, omt, z_new, theta)
         Gz_new = f.gram_ds(z_new)
         Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
-        ld_xn, s_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds,
-                                                   Gx_new, Gx_new)
+        _, ld_xn, s_xn = _fg.anchored_shift_pair_ds(f, ld_x, Mds,
+                                                    Gx, Gy, Gx_new)
         gd, dxy, dzz = dsl.sum_many([dsl.mul(g, dsl.sub(x_new, y)),
                                      h.divergence_terms_ds(x_new, y),
                                      h.divergence_terms_ds(z_new, z)])
@@ -981,6 +995,14 @@ def ABPG_expo(f, h, L, x0, gamma0, maxitrs, epsilon=1e-14, delta=0.2,
         from ..ops import double_single as dsl
 
         _fg.require_fast_gram_ds(f, h)
+        if chunk is None:
+            # DS solves are latency-sensitive: every chunk boundary pays a
+            # host round trip (launch + history fetch + state refresh),
+            # ~30 ms each through the axon tunnel — at the default 256
+            # chunk a 9000-iteration solve spent ~2 s on 35 boundaries.
+            # The DS per-chunk drift is ~1e-13/step, so 1024-step chunks
+            # keep the refresh guarantee comfortably.
+            chunk = max(int(verbskip), 1024)
         x0_ds = _as_ds(x0)
         st = _fg.init_state_ds(f, x0_ds)
         carry = dict(done=jnp.asarray(False), Minv=st["M0"],
@@ -1308,15 +1330,15 @@ def _abpg_gain_dopt_step_ds(cfg, prob, c, k):
         y = _ds_combine(x, omt, z, theta)
         Gy = _ds_combine(Gx, omt, Gz, theta)
         M32, Mds = _fg.inv_pair_ds(f, Gy, c["Minv"])
-        ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
         g = f.grad_from_inv_ds(Mds)
         Lt = dsl.mul(dsl.mul(pow_gm1(theta), G), L)
         z_new, cpx = h.div_prox_map_ds_warm(z, g, Lt, cpx)
         x_new = _ds_combine(x, omt, z_new, theta)
         Gz_new = f.gram_ds(z_new)
         Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
-        ld_xn, s_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds,
-                                                   Gx_new, Gx_new)
+        # both logdet advances in ONE batched series (fastgram)
+        ld_y, ld_xn, s_xn = _fg.anchored_shift_pair_ds(f, ld_x, Mds,
+                                                       Gx, Gy, Gx_new)
         # one stacked fold for <g, x_new-y>, D(x+, y) and D(z+, z)
         gd, dxy, dzz = dsl.sum_many([dsl.mul(g, dsl.sub(x_new, y)),
                                      h.divergence_terms_ds(x_new, y),
@@ -1439,6 +1461,14 @@ def ABPG_gain(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, G0=1,
         from ..ops import double_single as dsl
 
         _fg.require_fast_gram_ds(f, h)
+        if chunk is None:
+            # DS solves are latency-sensitive: every chunk boundary pays a
+            # host round trip (launch + history fetch + state refresh),
+            # ~30 ms each through the axon tunnel — at the default 256
+            # chunk a 9000-iteration solve spent ~2 s on 35 boundaries.
+            # The DS per-chunk drift is ~1e-13/step, so 1024-step chunks
+            # keep the refresh guarantee comfortably.
+            chunk = max(int(verbskip), 1024)
         x0_ds = _as_ds(x0)
         st = _fg.init_state_ds(f, x0_ds)
         one = dsl.from_f64(1.0)
@@ -1658,9 +1688,8 @@ def _abda_dopt_step_ds(cfg, prob, c, k):
     x_new = _ds_combine(x, omt, z_new, theta)
     Gz_new = f.gram_ds(z_new)
     Gx_new = _ds_combine(Gx, omt, Gz_new, theta)
-    ld_y = _fg.anchored_logdet_shift_ds(f, ld_x, -1.0, Mds, Gx, Gy)[0]
-    ld_xn = _fg.anchored_logdet_shift_ds(f, ld_y, 1.0, Mds, Gx_new,
-                                         Gx_new)[0]
+    ld_y, ld_xn, _ = _fg.anchored_shift_pair_ds(f, ld_x, Mds, Gx, Gy,
+                                                Gx_new)
 
     dxy, dzz = dsl.sum_many([h.divergence_terms_ds(x_new, y),
                              h.divergence_terms_ds(z_new, z)])
@@ -1702,6 +1731,14 @@ def ABDA(f, h, L, x0, gamma, maxitrs, epsilon=1e-14, theta_eq=True,
         from ..ops import double_single as dsl
 
         _fg.require_fast_gram_ds(f, h)
+        if chunk is None:
+            # DS solves are latency-sensitive: every chunk boundary pays a
+            # host round trip (launch + history fetch + state refresh),
+            # ~30 ms each through the axon tunnel — at the default 256
+            # chunk a 9000-iteration solve spent ~2 s on 35 boundaries.
+            # The DS per-chunk drift is ~1e-13/step, so 1024-step chunks
+            # keep the refresh guarantee comfortably.
+            chunk = max(int(verbskip), 1024)
         if not hasattr(h, "prox_map_ds_warm"):
             raise ValueError("ABDA fast_gram='ds' needs an h-oracle with a "
                              "DS primal prox (BurgEntropySimplex)")

@@ -177,34 +177,106 @@ def inv_pair_ds(f, G, M_prev32, f32_steps=4, ds_steps=2):
 
 
 def series_logdet_ds(E):
-    """``series_logdet`` with a DS input/output: all 8 trace terms in DS
-    (the m x m DS matmuls are trivial at fast-gram sizes; t3/t4 in f32
-    would cost ~1e-10 absolute near the 0.03 gate)."""
+    """``series_logdet`` with a DS input/output — dispatch-lean form.
+
+    Only ONE DS matmul (E^2; batched over a leading axis when ``E`` stacks
+    several residuals): tr(E^3) = sum(E2 o E^T) and tr(E^4) = sum(E2 o
+    E2^T) are elementwise DS contractions of it, all four folded in ONE
+    stacked reduction; the j >= 5 terms (<= m * 0.03^5 ~ 1e-6 at the
+    gate, needing only ~1e-7 relative) come from f32 HIGHEST-precision
+    matmuls of the hi planes.  In-scan this cut the anchored-shift cost
+    from ~79 to ~35 us/iteration at m=30.  Accepts E of shape
+    (..., m, m); returns DS scalars of the leading batch shape.
+    """
     from ..ops import double_single as ds
     from ..ops import ds_linalg as dl
 
     E2 = dl.mm(E, E)
-    E3 = dl.mm(E, E2)
-    E4 = dl.mm(E2, E2)
-    t1 = dl.trace(E)
-    t2 = dl.trace(E2)
-    t3 = dl.trace(E3)
-    t4 = dl.trace(E4)
+    swap = lambda A: (jnp.swapaxes(A[0], -1, -2),  # noqa: E731
+                      jnp.swapaxes(A[1], -1, -2))
+    ET, E2T = swap(E), swap(E2)
+    batch = E[0].shape[:-2]
+    m = E[0].shape[-1]
 
-    def tsum(A, B):
-        # tr(A B) = sum(A * B^T) elementwise in DS
-        return ds.sum_along(
-            ds.sum_along(ds.mul(A, (B[0].T, B[1].T)), 1), 0)
+    def flat(A):
+        return (A[0].reshape(batch + (m * m,)),
+                A[1].reshape(batch + (m * m,)))
 
-    t5 = tsum(E2, E3)
-    t6 = tsum(E3, E3)
-    t7 = tsum(E3, E4)
-    t8 = tsum(E4, E4)
-    acc = t1
-    for j, t in ((2, t2), (3, t3), (4, t4), (5, t5), (6, t6), (7, t7),
-                 (8, t8)):
-        acc = ds.add(acc, ds.mul_f32(t, jnp.float32(1.0 / j)))
+    # t1..t4 in one stacked DS fold: diag(E) padded to m^2 width
+    diag = (jnp.diagonal(E[0], axis1=-2, axis2=-1),
+            jnp.diagonal(E[1], axis1=-2, axis2=-1))
+    pad = batch + (m * m - m,)
+    t1v = (jnp.concatenate([diag[0], jnp.zeros(pad, jnp.float32)], -1),
+           jnp.concatenate([diag[1], jnp.zeros(pad, jnp.float32)], -1))
+    stack = [t1v, ds.mul(flat(E), flat(ET)), ds.mul(flat(E2), flat(ET)),
+             ds.mul(flat(E2), flat(E2T))]
+    sh = (jnp.stack([v[0] for v in stack], -2),
+          jnp.stack([v[1] for v in stack], -2))
+    s = ds.sum_along(sh, axis=-1, sloppy=True)
+    t = [(s[0][..., i], s[1][..., i]) for i in range(4)]
+
+    # j >= 5: f32 hi-plane matmuls (HIGHEST: TPU f32 matmuls default to
+    # bf16 passes, see `schulz`)
+    hi = jax.lax.Precision.HIGHEST
+    Eh = E[0] + E[1]
+    E2h = E2[0] + E2[1]
+    E3h = jnp.matmul(E2h, Eh, precision=hi)
+    E4h = jnp.matmul(E2h, E2h, precision=hi)
+    E3hT = jnp.swapaxes(E3h, -1, -2)
+    E4hT = jnp.swapaxes(E4h, -1, -2)
+    tail = (jnp.sum(E2h * E3hT, axis=(-1, -2)) / 5.0    # tr(E^5)
+            + jnp.sum(E3h * E3hT, axis=(-1, -2)) / 6.0  # tr(E^6)
+            + jnp.sum(E3h * E4hT, axis=(-1, -2)) / 7.0  # tr(E^7)
+            + jnp.sum(E4h * E4hT, axis=(-1, -2)) / 8.0)  # tr(E^8)
+    acc = t[0]
+    for j, tj in ((2, t[1]), (3, t[2]), (4, t[3])):
+        acc = ds.add(acc, ds.mul_f32(tj, jnp.float32(1.0 / j)))
+    acc = ds.add(acc, ds.from_f32(tail.astype(jnp.float32)))
     return ds.neg(acc)
+
+
+def anchored_shift_pair_ds(f, ld_x, M_ds, Gx, Gy, Gxn):
+    """The accelerated steps' TWO logdet advances in one batched series:
+
+        ld_y  = ld_x - logdet(M Gx)   [M ~= Gy^{-1}; fallback target Gy]
+        ld_xn = ld_y + logdet(M Gxn)  [fallback target Gxn]
+
+    Returns ``(ld_y, ld_xn, s_xn)``.  Both residual series evaluate as ONE
+    batched DS chain (dl.mm/series_logdet_ds over a leading 2-axis) —
+    in-scan the per-matrix dispatch chains dominate, so pairing halves
+    the shift cost."""
+    from ..ops import double_single as ds
+    from ..ops import ds_linalg as dl
+
+    if not isinstance(M_ds, tuple):
+        M_ds = ds.from_f32(M_ds)
+    Gs = (jnp.stack([Gx[0], Gxn[0]]), jnp.stack([Gx[1], Gxn[1]]))
+    Mb = (M_ds[0][None], M_ds[1][None])
+    P = dl.mm(Mb, Gs)
+    m = Gx[0].shape[0]
+    eye = jnp.eye(m, dtype=jnp.float32)[None]
+    E = ds.sub((eye, jnp.zeros_like(eye)), P)
+    Eh = E[0] + E[1]
+    n2 = jnp.sum(Eh * Eh, axis=(-1, -2))
+    s = series_logdet_ds(E)
+    s_a = (s[0][0], s[1][0])
+    s_b = (s[0][1], s[1][1])
+
+    ld_y = lax.cond(
+        n2[0] <= SERIES_TAU2,
+        lambda: ds.add(ld_x, ds.neg(s_a)),
+        lambda: f.logdet_full_ds(Gy))
+    okb = n2[1] <= SERIES_TAU2
+
+    def fast_b():
+        return ds.add(ld_y, s_b), s_b
+
+    def fallback_b():
+        ld = f.logdet_full_ds(Gxn)
+        return ld, ds.sub(ld, ld_y)
+
+    ld_xn, s_xn = lax.cond(okb, fast_b, fallback_b)
+    return ld_y, ld_xn, s_xn
 
 
 def anchored_logdet_shift_ds(f, ld_anchor, sign, M_ds, G_series, G_target):

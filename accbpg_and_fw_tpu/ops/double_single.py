@@ -306,6 +306,7 @@ def sum_along(x, axis, keepdims=False, sloppy=False):
 
     fold = add_sloppy if sloppy else add
     hi, lo = x
+    axis = axis % hi.ndim
     while hi.shape[axis] > 1:
         m = hi.shape[axis]
         half = m // 2

@@ -24,19 +24,22 @@ from . import double_single as ds
 
 
 def _bc_a(A, like):
-    """(m, k) -> (m, k, 1) broadcast planes."""
-    return (A[0][:, :, None], A[1][:, :, None])
+    """(..., m, k) -> (..., m, k, 1) broadcast planes."""
+    return (A[0][..., :, :, None], A[1][..., :, :, None])
 
 
 def _bc_b(B):
-    """(k, n) -> (1, k, n) broadcast planes."""
-    return (B[0][None, :, :], B[1][None, :, :])
+    """(..., k, n) -> (..., 1, k, n) broadcast planes."""
+    return (B[0][..., None, :, :], B[1][..., None, :, :])
 
 
 def mm(A, B, sloppy=True):
-    """DS (m,k) @ DS (k,n) -> DS (m,n), fully error-free-transformed."""
+    """DS (..., m, k) @ DS (..., k, n) -> DS (..., m, n), fully
+    error-free-transformed.  Leading batch dims broadcast — batching
+    SEVERAL small matmuls into one call pays ONE reduction chain for all
+    of them (the same dispatch-latency argument as double_single.sum_many)."""
     P = ds.mul(_bc_a(A, B), _bc_b(B))
-    return ds.sum_along(P, axis=1, sloppy=sloppy)
+    return ds.sum_along(P, axis=-2, sloppy=sloppy)
 
 
 def mm_ds_f32(A, B32):

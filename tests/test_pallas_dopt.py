@@ -241,6 +241,15 @@ def test_public_api_pallas_engine():
     assert len(rp[1]) == len(r64[1])
     np.testing.assert_allclose(rp[0], np.asarray(r64[0], np.float64),
                                atol=1e-12)
-    with pytest.raises(ValueError):
-        acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=10, verbose=False,
-                          u_mode="pallas", checkpoint="/tmp/nope.npz")
+    # checkpointing through the public API (round-2 verdict item 7 —
+    # previously raised; the full resume contract is covered by
+    # test_checkpoint_resume)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = os.path.join(d, "p.npz")
+        rck = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=256, verbose=False,
+                                u_mode="pallas", chunk=256, checkpoint=ck)
+        assert os.path.exists(ck)
+        assert len(rck[1]) == 256
