@@ -347,6 +347,22 @@ def run_f64(force_cpu=False):
     bench("f64_kl_1000x100_abpg_gain_autocpu", lambda: acc.ABPG_gain(
         f364, h3, L3, x0364, gamma=2, maxitrs=4000, restart=True,
         restart_rule="g", verbose=False))
+
+    # solver_device pins jax.default_device too (round 3), so the eager
+    # setup no longer pays per-dispatch tunnel trips — the sub-second KL
+    # configs beat numpy from a TPU process this way
+    def _kl_ctx(fn):
+        def run():
+            with acc.solver_device("cpu"):
+                return fn()
+        return run
+
+    bench("f64_kl_1000x100_bpg_ls_solverdev", _kl_ctx(lambda: acc.BPG(
+        f364, h3, L3, x0364, maxitrs=4000, linesearch=True, verbose=False)))
+    bench("f64_kl_1000x100_abpg_gain_solverdev", _kl_ctx(
+        lambda: acc.ABPG_gain(f364, h3, L3, x0364, gamma=2, maxitrs=4000,
+                              restart=True, restart_rule="g",
+                              verbose=False)))
     return results
 
 

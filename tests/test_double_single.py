@@ -197,3 +197,32 @@ def test_outer_matches_f64(rng):
                                       ds.from_f64(jnp.asarray(r64)))))
     want = np.outer(c64, r64)
     np.testing.assert_allclose(O, want, rtol=3e-14)
+
+
+def test_sum_many_matches_individual_folds():
+    """sum_many folds k stacked vectors exactly like k separate sum_along
+    calls (same pairwise halving per row)."""
+    import numpy as np
+
+    from accbpg_and_fw_tpu.ops import double_single as ds
+
+    rng = np.random.default_rng(3)
+    vs = [ds.from_f64(rng.standard_normal(317) * 10.0 ** rng.integers(-3, 3))
+          for _ in range(3)]
+    got = ds.sum_many(vs)  # sloppy folds (the hot-path default)
+    for v, g in zip(vs, got):
+        ref = ds.sum_along(v, 0, sloppy=True)
+        assert float(g[0]) == float(ref[0])
+        assert float(g[1]) == float(ref[1])
+
+
+def test_min_along_ds_order():
+    import numpy as np
+
+    from accbpg_and_fw_tpu.ops import double_single as ds
+
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal(55)
+    m = ds.min_along(ds.from_f64(a), 0)
+    ref = a.min()
+    assert abs((float(m[0]) + float(m[1])) - ref) < 1e-13

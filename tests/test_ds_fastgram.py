@@ -228,3 +228,33 @@ class TestDSTrajectory:
         f64o, fds, h, L, x064, _ = problem
         with pytest.raises(ValueError, match="fast_gram='ds'"):
             acc.BPG(f64o, h, L, x064, maxitrs=10, fast_gram="ds")
+
+
+class TestBatchedSeries:
+    def test_anchored_pair_matches_separate_calls(self, problem, rng):
+        from accbpg_and_fw_tpu.ops import double_single as ds
+
+        f64o, fds, h, L, x064, H64 = problem
+        x = ds.from_f64(x064)
+        G = jax.jit(fds.gram_ds)(x)
+        M32 = jax.jit(fds.inv_seed32)(G)
+        _, Mds = jax.jit(lambda G, M: fg.inv_pair_ds(fds, G, M))(G, M32)
+        ld0 = jax.jit(fds.logdet_full_ds)(G)
+        # nearby Grams (theta-scale perturbations)
+        x2 = x064 * (1 + rng.uniform(-2e-3, 2e-3, len(x064)))
+        x2 = x2 / x2.sum()
+        x3 = x064 * (1 + rng.uniform(-1e-3, 1e-3, len(x064)))
+        x3 = x3 / x3.sum()
+        Gy = jax.jit(fds.gram_ds)(ds.from_f64(x2))
+        Gn = jax.jit(fds.gram_ds)(ds.from_f64(x3))
+        ld_y, ld_xn, s_xn = jax.jit(
+            lambda G, Gy, Gn, M, ld: fg.anchored_shift_pair_ds(
+                fds, ld, M, G, Gy, Gn))(G, Gy, Gn, Mds, ld0)
+        ld_y_ref = jax.jit(
+            lambda G, Gy, M, ld: fg.anchored_logdet_shift_ds(
+                fds, ld, -1.0, M, G, Gy)[0])(G, Gy, Mds, ld0)
+        assert abs(tof64(ld_y) - tof64(ld_y_ref)) < 1e-11
+        # fresh truth for the target logdet
+        Gref = (H64 * x3) @ H64.T
+        assert abs(float(tof64(ld_xn))
+                   - np.linalg.slogdet(Gref)[1]) < 1e-10
