@@ -155,6 +155,16 @@ def require_fast_gram_ds(f, h):
         raise ValueError(
             "fast_gram='ds' needs an h-oracle with a double-single prox "
             "(BurgEntropySimplex)")
+    m = int(f.m)
+    if m > 128:
+        import warnings
+
+        warnings.warn(
+            f"fast_gram='ds' with m={m}: the DS m x m algebra (ds_linalg "
+            "broadcast matmuls, DS Cholesky fallback) materializes "
+            "O(m^3) intermediates — sized for the reference's m <= ~100 "
+            "benchmark regime. For large m prefer fast_gram=True with "
+            "the f64 oracle (host) or DOptimalObjMixed (chip).")
 
 
 def inv_pair_ds(f, G, M_prev32, f32_steps=4, ds_steps=2):

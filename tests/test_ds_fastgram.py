@@ -258,3 +258,19 @@ class TestBatchedSeries:
         Gref = (H64 * x3) @ H64.T
         assert abs(float(tof64(ld_xn))
                    - np.linalg.slogdet(Gref)[1]) < 1e-10
+
+
+def test_ds_checkpoint_resume_bitwise(tmp_path, problem):
+    """The DS engine's flat (hi, lo) carry keys ride the driver's
+    checkpoint machinery unchanged: interrupted + resumed == uninterrupted
+    BITWISE (the scan engines' resume contract)."""
+    f64o, fds, h, L, x064, H64 = problem
+    ck = str(tmp_path / "ds.npz")
+    xu, Fu, _, _ = acc.BPG(fds, h, L, x064, maxitrs=160, verbose=False,
+                           fast_gram="ds", chunk=64)
+    acc.BPG(fds, h, L, x064, maxitrs=80, verbose=False, fast_gram="ds",
+            chunk=64, checkpoint=ck)
+    x2, F2, _, _ = acc.BPG(fds, h, L, x064, maxitrs=160, verbose=False,
+                           fast_gram="ds", chunk=64, checkpoint=ck)
+    np.testing.assert_array_equal(np.asarray(Fu), np.asarray(F2))
+    np.testing.assert_array_equal(np.asarray(xu), np.asarray(x2))
