@@ -366,6 +366,39 @@ def run_f64(force_cpu=False):
     return results
 
 
+def run_ds_big():
+    """Scale-growth row: 30x100000 — 10x the reference notebook's own
+    headline n.  The TPU advantage grows with n (bandwidth/MXU-bound);
+    numpy's grows linearly.  Reference baseline: /tmp-generated same-seed
+    run of the UNMODIFIED reference ABPG_gain (see BASELINE.md row)."""
+    import accbpg_and_fw_tpu as acc
+
+    f, h, L, x0 = acc.D_opt_design(30, 100000, randseed=10)
+    H64 = np.asarray(f.H, np.float64)
+    fds = acc.DOptimalObjDS.from_design(H64)
+    x064 = np.full(100000, 1e-5)
+
+    def bench(name, fn):
+        fn()
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        x = np.asarray(out[0], np.float64)
+        F = np.asarray(out[1])
+        fresh = -np.linalg.slogdet((H64 * (x / x.sum())) @ H64.T)[1]
+        print(json.dumps({"bench": name, "seconds": round(dt, 3),
+                          "final_F": float(F[-1]),
+                          "fresh_f64_F": float(fresh),
+                          "iters": int(len(F))}), flush=True)
+
+    bench("ds_dopt_30x100000_abpg_gain", lambda: acc.ABPG_gain(
+        fds, h, L, x064, gamma=2, maxitrs=9000, verbose=False,
+        fast_gram="ds"))
+    bench("ds_dopt_30x100000_bpg_ls", lambda: acc.BPG(
+        fds, h, L, x064, maxitrs=9000, linesearch=True, verbose=False,
+        fast_gram="ds"))
+
+
 def run_ds():
     """Round-3 double-single engine (fast_gram="ds"): f64-GRADE answers
     from pure f32/int8 TPU ops — no x64 anywhere in the process.  Each
@@ -412,6 +445,8 @@ if __name__ == "__main__":
     p.add_argument("--ds", action="store_true",
                    help="double-single engine rows (fast_gram='ds'; "
                         "f64-grade from pure f32/int8, no x64)")
+    p.add_argument("--ds-big", action="store_true",
+                   help="30x100000 scale-growth rows (DS engine)")
     p.add_argument("--cpu", action="store_true",
                    help="force the host backend for --f64 (no TPU-process "
                         "routing overhead; isolates pure host numbers)")
@@ -422,5 +457,7 @@ if __name__ == "__main__":
         run_f64(force_cpu=a.cpu)
     if a.ds:
         run_ds()
-    if a.ours or not (a.reference or a.f64 or a.ds):
+    if a.ds_big:
+        run_ds_big()
+    if a.ours or not (a.reference or a.f64 or a.ds or a.ds_big):
         run_ours()
