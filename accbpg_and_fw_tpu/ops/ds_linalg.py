@@ -23,7 +23,7 @@ from jax import lax
 from . import double_single as ds
 
 
-def _bc_a(A, like):
+def _bc_a(A):
     """(..., m, k) -> (..., m, k, 1) broadcast planes."""
     return (A[0][..., :, :, None], A[1][..., :, :, None])
 
@@ -38,7 +38,7 @@ def mm(A, B, sloppy=True):
     error-free-transformed.  Leading batch dims broadcast — batching
     SEVERAL small matmuls into one call pays ONE reduction chain for all
     of them (the same dispatch-latency argument as double_single.sum_many)."""
-    P = ds.mul(_bc_a(A, B), _bc_b(B))
+    P = ds.mul(_bc_a(A), _bc_b(B))
     return ds.sum_along(P, axis=-2, sloppy=sloppy)
 
 

@@ -363,12 +363,13 @@ class DOptimalObjDS(SmoothOracle):
     def n(self):
         return self.Vh.shape[1]
 
-    # plain-oracle interface on f32 inputs (diagnostics / init only — the
-    # DS drivers never call these in the hot loop)
+    # plain-oracle interface (diagnostics / init only — the DS drivers
+    # never call these in the hot loop); accepts a DS pair or an f32 array
     def value(self, x, key=None):
-        G = self.gram_ds((x, jnp.zeros_like(x)) if not isinstance(x, tuple)
-                         else x)
-        ld = self.logdet_full_ds(G)
+        if not isinstance(x, tuple):
+            x = (jnp.asarray(x, jnp.float32), jnp.zeros(jnp.shape(x),
+                                                        jnp.float32))
+        ld = self.logdet_full_ds(self.gram_ds(x))
         return -(ld[0] + ld[1])
 
     def value_and_grad(self, x, key=None):
