@@ -79,7 +79,9 @@ def start_full(m=20, n_list=(100, 200, 300), K=3, eps_list=(1e-3, 1e-4),
     Reference scale is m=80, n up to 1000, K=10, Nmax=100000; defaults
     here are a runnable reduction — pass the full values to reproduce the
     paper figure.  ``fast_gram`` routes the BPG/ABPG runs through the
-    linear-Gram stateful steps (f64-grade convergence at f32-era cost).
+    linear-Gram stateful steps (f64-grade convergence at f32-era cost);
+    ``fast_gram="ds"`` uses the round-3 double-single engine
+    (DOptimalObjDS — the fastest on-chip route for the BPG rows).
 
     The study needs f64 like the reference (at f32 the BPG family
     plateaus above the tight gap targets); x64 is enabled here.
@@ -103,19 +105,31 @@ def start_full(m=20, n_list=(100, 200, 300), K=3, eps_list=(1e-3, 1e-4),
             x0KY = jnp.asarray(acc.D_opt_KYinit(V), x0.dtype)
             Vd = jnp.asarray(V, x0.dtype)
             runs = {}
+            # with the DS engine selected, run the FW rows through their
+            # DS scan too (f64 on TPU would hit the ~25x emulation tax)
+            um = "ds" if fast_gram == "ds" else "auto"
             _, F1, _, _, T1 = acc.D_opt_FW(Vd, x0KY, 1e-8,
-                                           maxitrs=num_iters, verbose=False)
+                                           maxitrs=num_iters, verbose=False,
+                                           u_mode=um)
             runs["FW"] = (np.asarray(F1, float), np.asarray(T1))
             _, F2, _, _, T2 = acc.D_opt_FW_away(Vd, x0KY, 1e-8,
                                                 maxitrs=num_iters,
-                                                verbose=False)
+                                                verbose=False, u_mode=um)
             runs["FW-away"] = (np.asarray(F2, float), np.asarray(T2))
-            fg = fast_gram and hasattr(f, "gram")
-            _, F3, _, T3 = acc.BPG(f, h, L, x0, maxitrs=num_iters,
+            if fast_gram == "ds":
+                # the round-3 double-single engine: f64-grade without x64,
+                # the fastest on-chip route for the BPG rows
+                f_run = acc.DOptimalObjDS.from_design(V)
+                x0_run = np.asarray(x0, np.float64)
+            else:
+                f_run, x0_run = f, x0
+            fg = fast_gram if fast_gram == "ds" else (
+                fast_gram and hasattr(f, "gram"))
+            _, F3, _, T3 = acc.BPG(f_run, h, L, x0_run, maxitrs=num_iters,
                                    linesearch=True, ls_ratio=1.5,
                                    verbose=False, fast_gram=fg)
             runs["BPG-LS"] = (np.asarray(F3, float), np.asarray(T3))
-            _, F4, _, _, _, T4 = acc.ABPG_gain(f, h, L, x0, gamma=2,
+            _, F4, _, _, _, T4 = acc.ABPG_gain(f_run, h, L, x0_run, gamma=2,
                                                maxitrs=num_iters,
                                                ls_inc=1.5, ls_dec=1.5,
                                                restart=True, verbose=False,
@@ -183,11 +197,14 @@ if __name__ == "__main__":
     p.add_argument("--full", action="store_true",
                    help="four-method sweep (FW / FW-away / BPG-LS / "
                         "ABPG-g), the reference figure's exact design")
+    p.add_argument("--ds", action="store_true",
+                   help="run the BPG rows of --full through the "
+                        "double-single engine (fast_gram='ds')")
     a = p.parse_args()
     if a.full:
         start_full(m=a.m, n_list=tuple(a.n_list), K=a.K,
                    eps_list=tuple(a.eps_list), num_iters=a.num_iters,
-                   plot=a.plot)
+                   plot=a.plot, fast_gram=("ds" if a.ds else True))
     else:
         start(m=a.m, n_list=tuple(a.n_list), K=a.K, eps_list=a.eps_list,
               num_iters=a.num_iters, plot=a.plot)
