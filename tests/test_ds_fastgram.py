@@ -274,3 +274,21 @@ def test_ds_checkpoint_resume_bitwise(tmp_path, problem):
                            fast_gram="ds", chunk=64, checkpoint=ck)
     np.testing.assert_array_equal(np.asarray(Fu), np.asarray(F2))
     np.testing.assert_array_equal(np.asarray(xu), np.asarray(x2))
+
+
+def test_ds_drivers_verbose_paths(problem, capsys):
+    """The DS drivers' progress tables (print_row over the DS history
+    keys) must render — exercised nowhere else (benchmarks run silent)."""
+    f64o, fds, h, L, x064, H64 = problem
+    acc.BPG(fds, h, L, x064, maxitrs=8, verbose=True, verbskip=4,
+            fast_gram="ds")
+    acc.ABPG(fds, h, L, x064, gamma=2, maxitrs=8, verbose=True, verbskip=4,
+             fast_gram="ds")
+    acc.ABPG_gain(fds, h, L, x064, gamma=2, maxitrs=8, verbose=True,
+                  verbskip=4, fast_gram="ds")
+    acc.ABPG_expo(fds, h, L, x064, gamma0=3.0, maxitrs=8, verbose=True,
+                  verbskip=4, fast_gram="ds")
+    acc.ABDA(fds, h, L, x064, gamma=2, maxitrs=8, verbose=True, verbskip=4,
+             fast_gram="ds")
+    out = capsys.readouterr().out
+    assert out.count("method for min") >= 4 and "nan" not in out.lower()
