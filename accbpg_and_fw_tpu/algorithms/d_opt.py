@@ -37,6 +37,15 @@ from jax import lax
 
 from .driver import run_driver
 
+# DS-engine u-update routing: below this V size the pure-VPU DS contract
+# wins (the packed int8 MXU path pays a fixed ~15 us of digit-split +
+# combine dispatches); above it the MXU path is ~2x faster (flop-bound
+# VPU contract vs HBM-bound int8 matmul — measured at 1000x5000: 144 vs
+# 70 us/iter).  7 digit levels = 42 bits of V; int32 accumulation stays
+# exact for m <= 65k (m * 65^2 * levels < 2^31).
+_OZAKI_U_MIN_SIZE = 1 << 21
+_OZAKI_U_LEVELS = 7
+
 
 def _dopt_factorize(V, x):
     """Fresh O(m^2 n + m^3) state: (H, w, logdet) for VXVT = V diag(x) V^T.
@@ -268,7 +277,19 @@ def _dopt_step_ds(cfg, prob, c, k):
     # so the hoisting mostly matters for the Pallas path — at the same
     # ~1e-13 accuracy
     HVi = dsa.contract(Vi, H, 1)
-    u = dsa.contract(HVi, Vds, 0)
+    if "V_packed" in prob:
+        # Big-n fast path: the O(mn) u = (Hv)^T V contraction through ONE
+        # packed int8 MXU matmul with exact int32 accumulation + DS combine
+        # (ops/mixed_precision.ozaki_gemv_packed_ds).  The pure-VPU DS
+        # contract is flop-bound at ~2x the HBM floor (144 vs 68 us at
+        # 1000x5000); the MXU path measures 70 us at ~1e-12 relative.
+        from ..ops import mixed_precision as mp
+
+        levels = prob["V_packed"].shape[-1] // n
+        u = mp.ozaki_gemv_packed_ds(HVi, prob["V_packed"], prob["sV_u"],
+                                    levels)
+    else:
+        u = dsa.contract(HVi, Vds, 0)
     # consistency pin u[v] = w[v] (see _dopt_step)
     u = (u[0].at[v].set(wv[0]), u[1].at[v].set(wv[1]))
 
@@ -413,6 +434,14 @@ def _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
     prob = dict(V_hi=jnp.asarray(Vh), V_lo=jnp.asarray(Vl),
                 eps=jnp.asarray(eps, jnp.float32),
                 inv_m_hi=jnp.asarray(imh), inv_m_lo=jnp.asarray(iml))
+    if V64.size >= _OZAKI_U_MIN_SIZE:
+        # packed int8 digit planes of V for the MXU u-update fast path
+        # (see _dopt_step_ds); split on HOST so no x64 is required
+        from ..ops import mixed_precision as mp
+
+        dV, sV = mp.digit_split_matrix_np(V64, _OZAKI_U_LEVELS)
+        prob["V_packed"] = mp.pack_digit_planes(jnp.asarray(dV))
+        prob["sV_u"] = jnp.asarray(sV, jnp.float32)
     carry = dict(done=jnp.asarray(False),
                  x_hi=jnp.asarray(xh), x_lo=jnp.asarray(xl),
                  w_hi=jnp.asarray(wh), w_lo=jnp.asarray(wl),

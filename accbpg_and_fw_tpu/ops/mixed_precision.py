@@ -284,6 +284,90 @@ def ozaki_mm_ds(Mh, Ml, B_packed, sB, levels_b: int, levels_m: int = 7,
     return out[0] * s, out[1] * s
 
 
+def digit_split_matrix_np(B, levels: int):
+    """``digit_split_matrix`` computed in HOST numpy float64 — exact
+    regardless of ``jax_enable_x64`` (``jnp.asarray`` would silently
+    downcast a f64 matrix to f32 with x64 off, collapsing every digit
+    plane past the 4th to garbage — the CLAUDE.md precision footgun).
+    Returns numpy (digits[levels, m, n] int8, s[n] f64)."""
+    import numpy as np
+
+    B = np.asarray(B, np.float64)
+    s = 2.0 ** np.ceil(np.log2(np.max(np.abs(B), axis=0) + 1e-300))
+    r = B / s
+    planes = []
+    for _ in range(levels):
+        d = np.round(r * BASE)
+        planes.append(d.astype(np.int8))
+        r = r * BASE - d
+    return np.stack(planes), s
+
+
+def digit_split_vector_ds(a, levels: int):
+    """Digit-split a DOUBLE-SINGLE (hi, lo) 1-D vector into int8 planes
+    with ONE shared power-of-two scale.  Returns ((levels, m) int8, s).
+
+    Same exactness argument as ``digit_split_rows_ds``: power-of-two
+    scalings are exact in both planes, the hi-digit subtraction cancels
+    exactly (Sterbenz: |r*BASE - round(r*BASE)| <= 1/2), and a two_sum
+    renormalizes the lo plane into the next level.  Digits can reach
+    |65| near rounding boundaries — still exact in int8/int32 products."""
+    from . import double_single as _ds
+
+    ah, al = a
+    s = 2.0 ** jnp.ceil(jnp.log2(jnp.max(jnp.abs(ah)) + 1e-30))
+    inv_s = 1.0 / s  # power of two: exact
+    rh = ah * inv_s
+    rl = al * inv_s
+    planes = []
+    for _ in range(levels):
+        d = jnp.round(rh * BASE)
+        planes.append(d.astype(jnp.int8))
+        nh = rh * BASE - d
+        rh, rl = _ds.two_sum(nh, rl * BASE)
+    return jnp.stack(planes), s
+
+
+def ozaki_gemv_packed_ds(a, B_packed, sB, levels_b: int, levels_a: int = 7):
+    """u = a @ B for a DOUBLE-SINGLE vector ``a`` against a digit-packed
+    B (``pack_digit_planes`` layout), with a DS combine — no f64 anywhere.
+
+    The D-opt DS engine's w-update u = (Hv)^T V (algorithms/d_opt.py
+    ``_dopt_step_ds``): ONE (levels_a, m) x (m, levels_b*n) int8 MXU
+    contraction reads each digit plane once (exact int32 accumulation,
+    bounded by m * 65^2 * levels < 2^31 for m <= 65k); the 13 diagonal
+    groups convert exactly to DS, scale by exact powers of two, and fold
+    in one pairwise DS reduction.  Truncation ~BASE**-levels relative.
+
+    Measured on v5e at 1000x5000 in-scan: 70 us/iter vs 144 us for the
+    pure-VPU ``double_single.contract`` (which is flop-bound: ~29 DS flops
+    per element vs the HBM floor of ~68 us for the 40 MB read) at ~1e-12
+    relative accuracy — the MXU does the accumulation work instead."""
+    from . import double_single as _ds
+
+    n = B_packed.shape[1] // levels_b
+    a_digits, sa = digit_split_vector_ds(a, levels_a)
+    prod = lax.dot_general(
+        a_digits, B_packed,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(levels_a, levels_b, n)
+    dh = []
+    dl = []
+    for d in range(levels_a + levels_b - 1):
+        acc = None
+        for p in range(max(0, d - levels_b + 1), min(d, levels_a - 1) + 1):
+            t = prod[p, d - p]
+            acc = t if acc is None else acc + t
+        gh, gl = _ds.int32_to_ds(acc)
+        sc = jnp.float32(BASE ** -(d + 2))  # power of two: exact
+        dh.append(gh * sc)
+        dl.append(gl * sc)
+    uh, ul = _ds.sum_along((jnp.stack(dh), jnp.stack(dl)), 0, sloppy=True)
+    sc = sa * sB  # product of powers of two: exact
+    return uh * sc, ul * sc
+
+
 def ozaki_gram(dA, sA, dW, sW, max_diag: int | None = None):
     """G = A @ W^T with A == (digits dA, row scales sA), W == (dW, sW).
 

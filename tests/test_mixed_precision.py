@@ -79,3 +79,56 @@ def test_packed_gemv_matches_loop(problem):
     )(jnp.asarray(a)))
     rel = np.max(np.abs(u - u_true)) / np.max(np.abs(u_true))
     assert rel < 1e-10
+
+
+def test_packed_gemv_ds_near_f64(problem):
+    """DS-combine packed GEMV (the DS D-opt w-update fast path)."""
+    a, B = problem
+    from accbpg_and_fw_tpu.ops.mixed_precision import (
+        digit_split_matrix_np,
+        digit_split_vector_ds,
+        ozaki_gemv_packed_ds,
+        pack_digit_planes,
+    )
+
+    dB, sB = digit_split_matrix_np(B, 7)
+    packed = pack_digit_planes(jnp.asarray(dB))
+    sB32 = jnp.asarray(sB, jnp.float32)
+    ah = np.asarray(a, np.float32)
+    al = np.asarray(a - ah.astype(np.float64), np.float32)
+    a_ds = (jnp.asarray(ah), jnp.asarray(al))
+
+    # the DS digit split reconstructs the DS value
+    digits, s = jax.jit(lambda v: digit_split_vector_ds(v, 7))(a_ds)
+    recon = sum(np.asarray(digits[p], np.float64) * 64.0 ** -(p + 1)
+                for p in range(7)) * float(s)
+    assert np.max(np.abs(recon - a)) <= np.max(np.abs(a)) * 64.0**-7
+
+    u = jax.jit(lambda v: ozaki_gemv_packed_ds(v, packed, sB32, 7))(a_ds)
+    u_ds = np.asarray(u[0], np.float64) + np.asarray(u[1], np.float64)
+    u_true = a @ B
+    rel = np.max(np.abs(u_ds - u_true)) / np.max(np.abs(u_true))
+    assert rel < 1e-10
+
+
+def test_dopt_ds_packed_u_certifies(monkeypatch):
+    """The DS engine with the forced packed int8 u-update converges to the
+    reference's 1e-8 slack and fresh-certifies (the big-n fast path,
+    normally auto-enabled above _OZAKI_U_MIN_SIZE)."""
+    import accbpg_and_fw_tpu as acc
+    from accbpg_and_fw_tpu.algorithms import d_opt
+
+    monkeypatch.setattr(d_opt, "_OZAKI_U_MIN_SIZE", 1)
+    rng = np.random.RandomState(10)
+    m, n = 30, 500
+    V = rng.randn(m, n)
+    x0 = np.full(n, 1.0 / n)
+    x, F, SP, SN, T = acc.D_opt_FW_away(V, x0, eps=1e-8, maxitrs=20000,
+                                        verbose=False, u_mode="ds")
+    assert SP[-1] <= 1e-8 and SN[-1] <= 1e-8
+    xs = np.asarray(x, np.float64)
+    xs = xs / xs.sum()
+    H = np.linalg.inv((V * xs) @ V.T)
+    w = np.einsum("ij,ij->j", V, H @ V)
+    assert w.max() / m - 1 <= 2e-8
+    assert 1 - w[xs > 1e-8].min() / m <= 2e-8
