@@ -38,12 +38,14 @@ from jax import lax
 from .driver import run_driver
 
 # DS-engine u-update routing: below this V size the pure-VPU DS contract
-# wins (the packed int8 MXU path pays a fixed ~15 us of digit-split +
-# combine dispatches); above it the MXU path is ~2x faster (flop-bound
-# VPU contract vs HBM-bound int8 matmul — measured at 1000x5000: 144 vs
-# 70 us/iter).  7 digit levels = 42 bits of V; int32 accumulation stays
-# exact for m <= 65k (m * 65^2 * levels < 2^31).
-_OZAKI_U_MIN_SIZE = 1 << 21
+# wins (the packed int8 MXU path pays fixed digit-split + combine
+# dispatches); above it the MXU path is ~2x faster (flop-bound VPU
+# contract vs HBM-bound int8 matmul).  Measured crossover on v5e
+# (us/iter, contract vs packed): 0.3M 23/32, 1M 41/81, 2M 67/38,
+# 5M 140/73 — sharp flip at ~2M elements.  7 digit levels = 42 bits of
+# V; int32 accumulation stays exact for m <= 65k (m * 65^2 * levels
+# < 2^31).
+_OZAKI_U_MIN_SIZE = 1_800_000
 _OZAKI_U_LEVELS = 7
 
 

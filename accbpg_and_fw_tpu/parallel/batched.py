@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..algorithms import d_opt as _d_opt
 from ..algorithms.d_opt import (
     _DOptCfg,
     _dopt_factorize,
@@ -88,14 +89,22 @@ def _batch_solve(away, refresh_every, num_iters, u_mode, Vs, x0s, eps):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _batch_solve_ds(away, num_iters, Vh, Vl, carry, eps, inv_m_hi, inv_m_lo):
+def _batch_solve_ds(away, num_iters, Vh, Vl, carry, eps, inv_m_hi, inv_m_lo,
+                    Vp=None, sVu=None):
+    """``Vp``/``sVu`` (optional, trace-time-static presence): per-instance
+    packed int8 digit planes + column scales for the MXU u-update fast
+    path (see d_opt._dopt_step_ds) — supplied by the caller for instances
+    above d_opt._OZAKI_U_MIN_SIZE."""
     cfg = _DOptCfg(away=away, mixed=False)
 
-    def solve_one(Vh1, Vl1, c1):
+    def solve_one(Vh1, Vl1, c1, Vp1=None, sVu1=None):
         # inv_m rides as a runtime arg — DS constants must never be baked
         # into the jit (ops/double_single.py hazard note)
         prob = dict(V_hi=Vh1, V_lo=Vl1, eps=eps,
                     inv_m_hi=inv_m_hi, inv_m_lo=inv_m_lo)
+        if Vp1 is not None:
+            prob["V_packed"] = Vp1
+            prob["sV_u"] = sVu1
 
         def step(c, k):
             return _dopt_step_ds(cfg, prob, c, k)
@@ -106,7 +115,9 @@ def _batch_solve_ds(away, num_iters, Vh, Vl, carry, eps, inv_m_hi, inv_m_lo):
         return (c2, c2["x_hi"], c2["x_lo"], hist["F"], hist["SP"],
                 hist["SN"])
 
-    return jax.vmap(solve_one)(Vh, Vl, carry)
+    if Vp is None:
+        return jax.vmap(solve_one)(Vh, Vl, carry)
+    return jax.vmap(solve_one)(Vh, Vl, carry, Vp, sVu)
 
 
 def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
@@ -167,6 +178,21 @@ def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     Vh = jnp.asarray(onp.stack(planes["V_hi"]))
     Vl = jnp.asarray(onp.stack(planes["V_lo"]))
     imh, iml = _inv_m_ds_np(Vs64.shape[1])
+    Vp = sVu = None
+    if Vs64[0].size >= _d_opt._OZAKI_U_MIN_SIZE:
+        # per-instance packed int8 digit planes for the MXU u-update
+        from ..ops import mixed_precision as mp
+
+        packed, scales = [], []
+        for kk in range(K):
+            dV, sV = mp.digit_split_matrix_np(Vs64[kk],
+                                              _d_opt._OZAKI_U_LEVELS)
+            packed.append(onp.ascontiguousarray(
+                onp.transpose(dV, (1, 0, 2)).reshape(
+                    dV.shape[1], dV.shape[0] * dV.shape[2])))
+            scales.append(onp.asarray(sV, onp.float32))
+        Vp = jnp.asarray(onp.stack(packed))
+        sVu = jnp.asarray(onp.stack(scales))
 
     R = int(refresh_every) if refresh_every else int(num_iters)
     R = min(R, int(num_iters))
@@ -178,7 +204,8 @@ def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
         r = min(block, R - since_refresh, num_iters - done_iters)
         out = _batch_solve_ds(bool(away), int(r), Vh, Vl, carry,
                               jnp.asarray(eps, jnp.float32),
-                              jnp.asarray(imh), jnp.asarray(iml))
+                              jnp.asarray(imh), jnp.asarray(iml),
+                              Vp, sVu)
         carry2, xh, xl, F, SP, SN = out
         Fs.append(onp.asarray(F))
         SPs.append(onp.asarray(SP))

@@ -223,3 +223,38 @@ class TestBatchedSweeps:
         x, F, SP, SN = dopt_fw_batch(Vs, x0s, eps=1e-9, num_iters=0,
                                      precision="ds")
         assert F.shape == (K, 0) and x.shape == (K, n)
+
+
+def test_batch_ds_packed_u_parity(monkeypatch):
+    """Batch DS engine with the forced packed int8 u-update certifies and
+    agrees with the non-packed batch engine (big-n fast path, auto-enabled
+    above d_opt._OZAKI_U_MIN_SIZE)."""
+    import numpy as np
+    from accbpg_and_fw_tpu.algorithms import d_opt
+    from accbpg_and_fw_tpu.parallel.batched import dopt_fw_batch
+
+    rng = np.random.RandomState(7)
+    K, m, n = 2, 25, 400
+    Vs = rng.randn(K, m, n)
+    x0s = np.full((K, n), 1.0 / n)
+
+    x_ref, F_ref, SP_ref, SN_ref = dopt_fw_batch(
+        Vs, x0s, eps=1e-8, num_iters=12000, precision="ds")
+
+    monkeypatch.setattr(d_opt, "_OZAKI_U_MIN_SIZE", 1)
+    x, F, SP, SN = dopt_fw_batch(Vs, x0s, eps=1e-8, num_iters=12000,
+                                 precision="ds")
+    for kk in range(K):
+        assert SP[kk][-1] <= 1e-8 and SN[kk][-1] <= 1e-8
+        xs = np.asarray(x[kk], np.float64)
+        xs = xs / xs.sum()
+        H = np.linalg.inv((Vs[kk] * xs) @ Vs[kk].T)
+        w = np.einsum("ij,ij->j", Vs[kk], H @ Vs[kk])
+        assert w.max() / m - 1 <= 2e-8
+        assert 1 - w[xs > 1e-8].min() / m <= 2e-8
+        # same certified objective as the non-packed engine
+        xr = np.asarray(x_ref[kk], np.float64)
+        xr = xr / xr.sum()
+        ld = np.linalg.slogdet((Vs[kk] * xs) @ Vs[kk].T)[1]
+        ldr = np.linalg.slogdet((Vs[kk] * xr) @ Vs[kk].T)[1]
+        assert abs(ld - ldr) < 1e-7
