@@ -42,11 +42,13 @@ from .driver import run_driver
 # dispatches); above it the MXU path is ~2x faster (flop-bound VPU
 # contract vs HBM-bound int8 matmul).  Measured crossover on v5e
 # (us/iter, contract vs packed): 0.3M 23/32, 1M 41/81, 2M 67/38,
-# 5M 140/73 — sharp flip at ~2M elements.  7 digit levels = 42 bits of
-# V; int32 accumulation stays exact for m <= 65k (m * 65^2 * levels
-# < 2^31).
+# 5M 140/73 — sharp flip at ~2M elements.  8 digit levels (48 bits both
+# sides): u error 8.4e-13 relative, matching the DS contract's 4e-13
+# (7 levels measured 3.8e-11, whose ~1.3e-9 slack floor at m=1000 kept
+# the n=2000 sweep's away endgame from certifying 1e-8); int32
+# accumulation stays exact for m <= 65k (m * 65^2 * levels < 2^31).
 _OZAKI_U_MIN_SIZE = 1_800_000
-_OZAKI_U_LEVELS = 7
+_OZAKI_U_LEVELS = 8
 
 
 def _dopt_factorize(V, x):
@@ -289,7 +291,7 @@ def _dopt_step_ds(cfg, prob, c, k):
 
         levels = prob["V_packed"].shape[-1] // n
         u = mp.ozaki_gemv_packed_ds(HVi, prob["V_packed"], prob["sV_u"],
-                                    levels)
+                                    levels, levels_a=levels)
     else:
         u = dsa.contract(HVi, Vds, 0)
     # consistency pin u[v] = w[v] (see _dopt_step)
