@@ -326,7 +326,10 @@ def _dopt_step_ds(cfg, prob, c, k):
               w_hi=keep(w_new[0], w[0]), w_lo=keep(w_new[1], w[1]),
               H_hi=keep(H_new[0], H[0]), H_lo=keep(H_new[1], H[1]),
               ld_hi=keep(ld_new[0], ld[0]), ld_lo=keep(ld_new[1], ld[1]))
-    return c2, dict(F=Fk, SP=sp, SN=sn, _stop=stop)
+    # F to full DS resolution: hi plane + the residual after the f32 sum
+    # (host reconstruction adds them back in f64 — _run_dopt_ds)
+    F_lo = (-ld[0] - Fk) + (-ld[1])
+    return c2, dict(F=Fk, F_lo=F_lo, SP=sp, SN=sn, _stop=stop)
 
 
 def _ds_split_np(a):
@@ -483,11 +486,33 @@ def _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
                                 cfg=cfg)
     x_out = (onp.asarray(carry["x_hi"], onp.float64)
              + onp.asarray(carry["x_lo"], onp.float64))
-    return x_out, hist["F"], hist["SP"], hist["SN"], T
+    F_out = (onp.asarray(hist["F"], onp.float64)
+             + onp.asarray(hist["F_lo"], onp.float64))
+    return x_out, F_out, hist["SP"], hist["SN"], T
+
+
+def _resolve_auto_u_mode(V, u_mode):
+    """Route ``u_mode="auto"`` to the double-single engine for LARGE f64
+    problems on a TPU backend: DS + the packed int8 u-update strictly
+    dominates the mixed oracle there (146 vs ~550 us/iter at 1000x5000,
+    u error 8.4e-13 vs ~3e-12, certifies 1e-8 — both deviate from the
+    exact-f64 trajectory chaotically-but-validly).  Below the packed
+    threshold "auto" keeps its round-1 meaning (mixed iff f64-on-TPU,
+    resolved in ``_dopt_problem``; tiny problems route to host CPU via
+    the driver's AUTO_CPU fallback, which needs the f64 pytrees)."""
+    if u_mode != "auto":
+        return u_mode
+    dt = getattr(V, "dtype", None)
+    if (dt is not None and str(dt) == "float64"
+            and getattr(V, "size", 0) >= _OZAKI_U_MIN_SIZE
+            and jax.default_backend() == "tpu"):
+        return "ds"
+    return u_mode
 
 
 def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
               refresh_every, header, checkpoint=None, u_mode="auto"):
+    u_mode = _resolve_auto_u_mode(V, u_mode)
     if u_mode == "pallas":
         # whole-iteration fused kernel (ops/pallas_dopt.py): double-single
         # precision, ~10.7 us/iteration independent of n; single-chip,
@@ -552,9 +577,12 @@ def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
     (reference: D_opt_alg.py:9-88).  Returns ``(x, F, SP, SN, T)``.
 
     ``u_mode`` selects the engine/precision: "exact" (native dtype),
-    "mixed" (int8-Ozaki w-updates for f64 inputs), "auto" (mixed iff f64
-    on TPU), "ds" (double-single scan: f64-grade trajectories from pure
-    f32), or "pallas" (whole-iteration fused kernel, double-single,
+    "mixed" (int8-Ozaki w-updates for f64 inputs), "auto" (f64 on TPU:
+    the double-single engine above ~2M-element designs, mixed below;
+    tiny all-f64 problems fall back to host CPU — see
+    ``_resolve_auto_u_mode``), "ds" (double-single scan: f64-grade
+    trajectories from pure f32), or "pallas" (whole-iteration fused kernel,
+    double-single,
     ~10.7 us/iter for VMEM-resident problems — the fastest engine for
     small/medium single instances).
     """

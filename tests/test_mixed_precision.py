@@ -132,3 +132,44 @@ def test_dopt_ds_packed_u_certifies(monkeypatch):
     w = np.einsum("ij,ij->j", V, H @ V)
     assert w.max() / m - 1 <= 2e-8
     assert 1 - w[xs > 1e-8].min() / m <= 2e-8
+
+
+def test_auto_u_mode_routing(monkeypatch):
+    """auto routes big-f64-on-TPU to the DS engine; everything else keeps
+    its prior meaning (downstream mixed/exact resolution)."""
+    from accbpg_and_fw_tpu.algorithms import d_opt
+
+    V_big = np.zeros((2, 3))  # dtype/size carriers
+    monkeypatch.setattr(d_opt, "_OZAKI_U_MIN_SIZE", 6)
+    monkeypatch.setattr(d_opt.jax, "default_backend", lambda: "tpu")
+    assert d_opt._resolve_auto_u_mode(V_big, "auto") == "ds"
+    assert d_opt._resolve_auto_u_mode(V_big, "mixed") == "mixed"
+    assert d_opt._resolve_auto_u_mode(V_big, "exact") == "exact"
+    assert d_opt._resolve_auto_u_mode(
+        V_big.astype(np.float32), "auto") == "auto"
+    monkeypatch.setattr(d_opt, "_OZAKI_U_MIN_SIZE", 7)
+    assert d_opt._resolve_auto_u_mode(V_big, "auto") == "auto"
+    monkeypatch.setattr(d_opt.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setattr(d_opt, "_OZAKI_U_MIN_SIZE", 6)
+    assert d_opt._resolve_auto_u_mode(V_big, "auto") == "auto"
+
+
+def test_dopt_ds_f_history_full_resolution(monkeypatch):
+    """The DS runner's returned F history reconstructs hi+lo to f64 grade
+    (fresh-slogdet agreement well below f32 resolution)."""
+    import accbpg_and_fw_tpu as acc
+
+    rng = np.random.RandomState(3)
+    m, n = 20, 200
+    V = rng.randn(m, n)
+    x0 = np.full(n, 1.0 / n)
+    x, F, SP, SN, T = acc.D_opt_FW_away(V, x0, eps=1e-9, maxitrs=4000,
+                                        verbose=False, u_mode="ds")
+    assert F.dtype == np.float64
+    xs = np.asarray(x, np.float64)
+    xs = xs / xs.sum()
+    ld = np.linalg.slogdet((V * xs) @ V.T)[1]
+    # the last recorded F is evaluated at the PRE-update iterate of the
+    # stopping step; after convergence stalls the iterate is frozen, so
+    # they agree to DS resolution
+    assert abs(float(F[-1]) - (-ld)) < 5e-7 * max(1.0, abs(ld))
