@@ -335,9 +335,10 @@ def ozaki_gemv_packed_ds(a, B_packed, sB, levels_b: int, levels_a: int = 7):
     The D-opt DS engine's w-update u = (Hv)^T V (algorithms/d_opt.py
     ``_dopt_step_ds``): ONE (levels_a, m) x (m, levels_b*n) int8 MXU
     contraction reads each digit plane once (exact int32 accumulation,
-    bounded by m * 65^2 * levels < 2^31 for m <= 65k); the 13 diagonal
-    groups convert exactly to DS, scale by exact powers of two, and fold
-    in one pairwise DS reduction.  Truncation ~BASE**-levels relative.
+    bounded by m * 65^2 * levels < 2^31 for m <= 65k); the
+    levels_a + levels_b - 1 diagonal groups convert exactly to DS, scale
+    by exact powers of two, and fold in one pairwise DS reduction.
+    Truncation ~BASE**-levels relative.
 
     Measured on v5e at 1000x5000 in-scan: 70 us/iter vs 144 us for the
     pure-VPU ``double_single.contract`` (which is flop-bound: ~29 DS flops
