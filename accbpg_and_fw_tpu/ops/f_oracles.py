@@ -501,12 +501,13 @@ class _RegressionMixed(SmoothOracle):
     serves for D-optimal design (reference oracles: functions.py:85-158)."""
 
     b: Any = None
-    AT_d: Any = None   # (levels, n, N) int8: digits of A^T (for A @ x)
+    AT_p: Any = None   # (n, levels*N) int8: packed digits of A^T (A @ x)
     AT_s: Any = None   # (N,) column scales of A^T
-    A_d: Any = None    # (levels, N, n) int8: digits of A (for r @ A)
+    A_p: Any = None    # (N, levels*n) int8: packed digits of A (r @ A)
     A_s: Any = None    # (n,) column scales of A
     levels: int = static_field(default=7)
-    max_diag: int = static_field(default=6)
+    max_diag: int = static_field(default=6)  # kept for API compat; the
+    # packed GEMV evaluates every diagonal (tail in f32 — ozaki_gemv_packed)
 
     @classmethod
     def from_data(cls, A, b, levels: int = 7, max_diag: int = 6, **kw):
@@ -515,20 +516,33 @@ class _RegressionMixed(SmoothOracle):
         A = jnp.asarray(A, jnp.float64)
         dT, sT = mp.digit_split_matrix(A.T, levels)
         dA, sA = mp.digit_split_matrix(A, levels)
-        return cls(b=jnp.asarray(b, jnp.float64), AT_d=dT, AT_s=sT,
-                   A_d=dA, A_s=sA, levels=levels, max_diag=max_diag, **kw)
+        return cls(b=jnp.asarray(b, jnp.float64),
+                   AT_p=mp.pack_digit_planes(dT), AT_s=sT,
+                   A_p=mp.pack_digit_planes(dA), A_s=sA,
+                   levels=levels, max_diag=max_diag, **kw)
+
+    # PACKED single-matmul GEMVs (round 3): the per-pair ozaki_gemv loop
+    # re-reads each digit plane once per diagonal pair (~4x the packed
+    # form's HBM traffic at 7 levels).  Unlike the D-opt rank-1 step —
+    # where the 21 small per-pair dot_generals overlap with VPU-side work
+    # and measure faster (_dopt_u note) — a regression oracle's GEMV IS
+    # the whole op, so the one-pass packed contraction wins outright:
+    # Poisson 20000x10000x500 iters measured 3.96 -> 2.13 s on v5e
+    # (f32 path: 1.24 s; benchmarks/poisson_scale.py --mixed).
 
     def _ax(self, x):
         from . import mixed_precision as mp
 
-        return mp.ozaki_gemv(x, self.AT_d, self.AT_s,
-                             levels_a=self.levels, max_diag=self.max_diag)
+        return mp.ozaki_gemv_packed(x, self.AT_p, self.AT_s,
+                                    levels_b=self.levels,
+                                    levels_a=self.levels)
 
     def _rta(self, r):
         from . import mixed_precision as mp
 
-        return mp.ozaki_gemv(r, self.A_d, self.A_s,
-                             levels_a=self.levels, max_diag=self.max_diag)
+        return mp.ozaki_gemv_packed(r, self.A_p, self.A_s,
+                                    levels_b=self.levels,
+                                    levels_a=self.levels)
 
 
 @pytree_dataclass
