@@ -288,13 +288,27 @@ def FrobeniusSymLossExLInfBall(n, r, ball_center, radius=1.0, on_boundary=True):
     return f, SumOf2nd4thPowers(alpha=6.0, sigma=sigma), 1.0, _dev(X0), _dev(M)
 
 
-def FrobeniusSymLossResMeasEx(M, r, noise=0.0):
+def FrobeniusSymLossResMeasEx(M, r, noise=0.0, oracle=None):
     """SymNMF of a given similarity matrix M with positive-orthant kernel and
-    a Euclidean comparison kernel (reference: applications.py:404-415)."""
+    a Euclidean comparison kernel (reference: applications.py:404-415).
+
+    ``oracle="mixed"`` returns a ``FrobeniusSymLossMixed`` f-oracle
+    (f64-grade M@X / X^T X via exact int8 Ozaki products against
+    pre-split digit planes of M; needs x64; incompatible with ``noise``)."""
     M = np.asarray(M)
     X0 = np.random.rand(M.shape[0], r)
-    f = FrobeniusSymLoss.create(_dev(M), _dev(X0),
-                                noise_level=noise if noise else None)
+    if oracle == "mixed":
+        if noise:
+            raise ValueError("oracle='mixed' has no stochastic mode")
+        from ..ops.f_oracles import FrobeniusSymLossMixed
+
+        f = FrobeniusSymLossMixed.from_data(M)
+        X0 = X0.astype(np.float64)
+    elif oracle is None:
+        f = FrobeniusSymLoss.create(_dev(M), _dev(X0),
+                                    noise_level=noise if noise else None)
+    else:
+        raise ValueError(f"unknown oracle={oracle!r} (None or 'mixed')")
     h = SumOf2nd4thPowersPositiveOrthant(alpha=6.0,
                                          sigma=2 * np.linalg.norm(M, 2),
                                          upper_bound=None)

@@ -689,6 +689,63 @@ class FrobeniusSymLoss(SmoothOracle):
 
 
 @pytree_dataclass
+class FrobeniusSymLossMixed(SmoothOracle):
+    """``FrobeniusSymLoss`` at f64 grade without emulated-f64 GEMMs.
+
+    The one large contraction per oracle call, M @ X (n x n x r), runs as
+    an exact int8 Ozaki product against digit planes of the CONSTANT
+    similarity matrix M, pre-split once (``mixed_precision.digit_split_rows``
+    + ``ozaki_mm_presplit`` — the same precompute pattern as
+    ``_RegressionMixed``); X^T X is an exact ``ozaki_gram``.  Only the
+    O(n r^2) tail (X @ XtX, vdots) stays true f64.  Needs jax_enable_x64;
+    storage is ``levels`` bytes per M entry (vs 8 for f64).
+
+    Reference oracle: functions.py:908-1034 (float64 numpy).
+    """
+
+    M_d: Any = None      # (levels*n, n) int8 row-digit planes of M
+    M_s: Any = None      # (n, 1) f64 row scales
+    M_norm2: Any = None  # ||M||_F^2
+    levels: int = static_field(default=7)
+
+    accept_tol = 1e-10  # declared value/grad noise for line-search deltas
+
+    @classmethod
+    def from_data(cls, M, levels: int = 7):
+        from . import mixed_precision as mp
+
+        M = jnp.asarray(M, jnp.float64)
+        dM, sM = mp.digit_split_rows(M, levels)
+        return cls(M_d=dM.reshape(levels * M.shape[0], M.shape[1]), M_s=sM,
+                   M_norm2=jnp.vdot(M, M), levels=levels)
+
+    def _mx(self, x):
+        from . import mixed_precision as mp
+
+        dX, sX = mp.digit_split_matrix(x, self.levels)
+        return mp.ozaki_mm_presplit(self.M_d, self.M_s,
+                                    mp.pack_digit_planes(dX), sX,
+                                    self.levels, self.levels)
+
+    def _xtx(self, x):
+        from . import mixed_precision as mp
+
+        dXt, sXt = mp.digit_split_rows(x.T, self.levels)
+        return mp.ozaki_gram(dXt, sXt, dXt, sXt)
+
+    def value(self, x, key=None):
+        XtX = self._xtx(x)
+        return (0.5 * (self.M_norm2 + jnp.vdot(XtX, XtX))
+                - jnp.vdot(x, self._mx(x)))
+
+    def value_and_grad(self, x, key=None):
+        XtX = self._xtx(x)
+        MX = self._mx(x)
+        f = 0.5 * (self.M_norm2 + jnp.vdot(XtX, XtX)) - jnp.vdot(x, MX)
+        return f, 2.0 * (x @ XtX - MX)
+
+
+@pytree_dataclass
 class AX_b(SmoothOracle):
     """Affine map f(X) = X A - b, used as the constraint function of the
     primal-dual switching method (reference: functions.py:1037-1065).

@@ -406,13 +406,26 @@ def ozaki_mm(M, B_packed, sB, levels_b: int, levels_m: int = 7,
     produces all digit pairs; the combine accumulates the three leading
     diagonals in f64 and the geometrically-vanishing tail in f32 (same
     rounding argument as ``ozaki_gemv_packed``)."""
-    m = M.shape[0]
+    dM, sM = digit_split_rows(M, levels_m)  # (levels_m, m, m), (m, 1)
+    return ozaki_mm_presplit(dM.reshape(levels_m * M.shape[0], M.shape[1]),
+                             sM, B_packed, sB, levels_m, levels_b, max_diag)
+
+
+def ozaki_mm_presplit(dM_flat, sM, B_packed, sB, levels_m: int,
+                      levels_b: int, max_diag: int | None = None):
+    """``ozaki_mm`` with the LEFT matrix already digit-split: dM_flat is
+    ``digit_split_rows(M, levels_m)`` reshaped to (levels_m*m, k), sM its
+    (m, 1) row scales.  For a CONSTANT large M (the SymNMF similarity
+    matrix) the split amortizes to zero per iteration — the same
+    precompute pattern as ``_RegressionMixed``'s packed data planes.
+    Exactness: digit products <= 65^2 < 2^13, so int32 accumulation is
+    exact through k <= 2^18 contraction rows."""
+    m = dM_flat.shape[0] // levels_m
     n = B_packed.shape[1] // levels_b
     if max_diag is None:
         max_diag = levels_m + levels_b - 2
-    dM, sM = digit_split_rows(M, levels_m)  # (levels_m, m, m), (m, 1)
     P = lax.dot_general(
-        dM.reshape(levels_m * m, m), B_packed,
+        dM_flat, B_packed,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).reshape(levels_m, m, levels_b, n)

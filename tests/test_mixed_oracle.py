@@ -107,6 +107,48 @@ class TestRegressionMixed:
                                    rtol=1e-5)
 
 
+class TestFrobeniusSymLossMixed:
+    """SymNMF mixed oracle (pre-split constant M, exact int8 M@X and X^T X)
+    vs the true-f64 FrobeniusSymLoss."""
+
+    def _instance(self, n=250, r=8, seed=0):
+        rng = np.random.default_rng(seed)
+        Y = np.abs(rng.standard_normal((n, r)))
+        M = Y @ Y.T / r + 0.01 * np.abs(rng.standard_normal((n, n)))
+        M = 0.5 * (M + M.T)
+        f64 = acc.FrobeniusSymLoss.create(jnp.asarray(M, jnp.float64))
+        fm = acc.FrobeniusSymLossMixed.from_data(M)
+        return M, f64, fm
+
+    def test_value_and_grad_match_f64(self):
+        _, f64, fm = self._instance()
+        rng = np.random.default_rng(4)
+        for _ in range(3):
+            X = jnp.asarray(rng.random((250, 8)))
+            v0, g0 = map(np.asarray, f64.value_and_grad(X))
+            v1, g1 = map(np.asarray, fm.value_and_grad(X))
+            assert abs(v1 - v0) <= 1e-11 * max(1.0, abs(v0))
+            assert np.abs(g1 - g0).max() <= 1e-10 * np.abs(g0).max()
+            assert abs(float(fm.value(X)) - v0) <= 1e-11 * max(1.0, abs(v0))
+
+    def test_bpg_trajectory_matches_f64(self):
+        M, f64, fm = self._instance(n=120, r=4, seed=2)
+        sigma = 2.0 * float(np.linalg.norm(M, 2))
+        h = acc.SumOf2nd4thPowersPositiveOrthant(
+            alpha=jnp.float64(6.0), sigma=jnp.float64(sigma),
+            upper_bound=None)
+        rng = np.random.default_rng(7)
+        X0 = jnp.asarray(rng.random((120, 4)))
+        r_a = acc.BPG(f64, h, 1.0, X0, maxitrs=150, linesearch=False,
+                      verbose=False)
+        r_b = acc.BPG(fm, h, 1.0, X0, maxitrs=150, linesearch=False,
+                      verbose=False)
+        np.testing.assert_allclose(np.asarray(r_b[1]), np.asarray(r_a[1]),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(r_b[0]), np.asarray(r_a[0]),
+                                   atol=1e-9)
+
+
 def test_ill_conditioned_gram_graceful():
     """cond(Gram) ~ 2.5e8 exceeds what an f32 Cholesky can factor: the
     ||E|| gate must route to the exact-f64 branch instead of emitting NaN
