@@ -739,10 +739,18 @@ class FrobeniusSymLossMixed(SmoothOracle):
                 - jnp.vdot(x, self._mx(x)))
 
     def value_and_grad(self, x, key=None):
+        from . import mixed_precision as mp
+
         XtX = self._xtx(x)
         MX = self._mx(x)
         f = 0.5 * (self.M_norm2 + jnp.vdot(XtX, XtX)) - jnp.vdot(x, MX)
-        return f, 2.0 * (x @ XtX - MX)
+        # x @ XtX through the same exact int8 route: a TPU f64 matmul is
+        # software-emulated (~25x an f32 one) and would dominate this
+        # oracle's per-iteration cost despite its O(n r^2) flop count
+        dXtX, sXtX = mp.digit_split_matrix(XtX, self.levels)
+        xXtX = mp.ozaki_mm(x, mp.pack_digit_planes(dXtX), sXtX,
+                           levels_b=self.levels, levels_m=self.levels)
+        return f, 2.0 * (xXtX - MX)
 
 
 @pytree_dataclass

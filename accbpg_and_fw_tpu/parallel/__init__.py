@@ -12,6 +12,7 @@ from .mesh import (
     shard_dopt_design,
     shard_dopt_problem,
     shard_regression_problem,
+    shard_symnmf_problem,
 )
 from .batched import vmap_solver
 
@@ -21,5 +22,6 @@ __all__ = [
     "shard_dopt_design",
     "shard_dopt_problem",
     "shard_regression_problem",
+    "shard_symnmf_problem",
     "vmap_solver",
 ]

@@ -107,6 +107,21 @@ def shard_dopt_design(V, x0, mesh: Mesh, axis_name: str = "data",
     return V, x0
 
 
+def shard_symnmf_problem(f, X0, mesh: Mesh, axis_name: str = "data"):
+    """Place a SymNMF problem (FrobeniusSymLoss) on a mesh: the n x n
+    similarity matrix M and the n x r factor X both shard row-wise over
+    ``axis_name`` (M is the memory wall — n^2 entries; the factor is tiny).
+
+    Per-step collectives under GSPMD: one all-gather of X (n*r values)
+    feeding the row-local M @ X contraction, one psum for the r x r
+    X^T X, and scalar psums for the kernel norms — all O(n*r + r^2)
+    on the wire per iteration, never O(n^2)."""
+    row_sharding = NamedSharding(mesh, P(axis_name, None))
+    f = replace(f, M=jax.device_put(jnp.asarray(f.M), row_sharding))
+    X0 = jax.device_put(jnp.asarray(X0), row_sharding)
+    return f, X0
+
+
 def shard_regression_problem(f, x0, mesh: Mesh, axis_name: str = "data"):
     """Place a row-major regression oracle (PoissonRegression, KLdivRegression,
     LogisticRegression, SVM_fun — fields A-or-X and b-or-y) on a mesh:

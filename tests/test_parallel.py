@@ -180,6 +180,25 @@ class TestShardedRegression:
         np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
                                    rtol=1e-9)
 
+    def test_symnmf_sharded(self, mesh):
+        from accbpg_and_fw_tpu.parallel import shard_symnmf_problem
+
+        rng = np.random.default_rng(6)
+        n, r = 64, 4
+        Y = np.abs(rng.standard_normal((n, r)))
+        M = Y @ Y.T / r + 0.01 * np.abs(rng.standard_normal((n, n)))
+        M = 0.5 * (M + M.T)
+        np.random.seed(3)
+        f, (h, _), L, X0 = acc.FrobeniusSymLossResMeasEx(M, r)
+        f_sh, X_sh = shard_symnmf_problem(f, X0, mesh)
+        r1 = acc.BPG(f, h, L, X0, maxitrs=50, linesearch=False, verbose=False)
+        r2 = acc.BPG(f_sh, h, L, X_sh, maxitrs=50, linesearch=False,
+                     verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r2[0]),
+                                   atol=1e-7)
+
 
 class TestBatchedSweeps:
     def test_dopt_batch_matches_individual(self):
