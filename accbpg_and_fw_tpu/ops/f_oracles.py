@@ -581,6 +581,40 @@ class KLdivRegressionMixed(_RegressionMixed):
 
 
 @pytree_dataclass
+class SVMfunMixed(_RegressionMixed):
+    """``SVM_fun`` (mean hinge + (lamda/2)||x||^2) with both GEMV
+    orientations as exact int8 Ozaki products — the same two packed
+    contractions as the regression oracles (reference: functions.py:161-194).
+    ``from_data(A, y, lamda=...)``; the label vector rides the ``b`` slot.
+
+    Unlike the smooth oracles, f64-grade margins matter STRUCTURALLY here:
+    the hinge's active set ``margin < 1`` is a hard threshold, so an f32
+    margin error can flip rows of the subgradient."""
+
+    lamda: Any = 0.5
+
+    accept_tol = 1e-10  # declared value/grad noise for line-search deltas
+
+    @classmethod
+    def from_data(cls, A, y, lamda=0.5, levels: int = 7, **kw):
+        return super().from_data(A, y, levels=levels,
+                                 lamda=jnp.float64(lamda), **kw)
+
+    def value(self, x, key=None):
+        margin = self.b * self._ax(x)
+        return (jnp.mean(jnp.maximum(0.0, 1.0 - margin))
+                + (self.lamda / 2.0) * jnp.vdot(x, x))
+
+    def value_and_grad(self, x, key=None):
+        margin = self.b * self._ax(x)
+        f = (jnp.mean(jnp.maximum(0.0, 1.0 - margin))
+             + (self.lamda / 2.0) * jnp.vdot(x, x))
+        active = (margin < 1.0).astype(x.dtype)
+        g = self.lamda * x - self._rta(active * self.b) / self.b.shape[0]
+        return f, g
+
+
+@pytree_dataclass
 class KLdivRegression(SmoothOracle):
     """f(x) = D_KL(Ax, b) (reference: functions.py:123-158)."""
 
