@@ -333,15 +333,27 @@ def _pd_step(cfg, prob, c, k):
     dual_tol, dual_lr = prob["dual_tol"], prob["dual_lr"]
     dt = c["x"].dtype
 
-    def constraint_total(y):
-        return jnp.sum(g_fun.value(y))
-
-    cgrad_total = jax.grad(constraint_total)
-
     def compute_dual_value(z, y0):
+        # Reference-exact ascent direction (algorithms.py:833-841).  For a
+        # scalar constraint this is -f' - z*g'; for a vector constraint the
+        # reference broadcasts z_vec[:, None] * g.gradient(y) and sums over
+        # axis 0 — with an AX_b-style oracle whose gradient is the constant
+        # A (shape (r,)), that evaluates to len(g(y)) * z * A, NOT the true
+        # gradient of z*sum(g).  We reproduce the reference arithmetic
+        # verbatim (the branch is static: constraint shape is trace-known)
+        # so the duality-gap histories are golden-comparable.
+        scalar_cnstrnt = jnp.ndim(g_fun.value(y0)) == 0
+
+        def ascent_dir(y):
+            gg = g_fun.grad(y)
+            if scalar_cnstrnt:
+                return -f.grad(y) - z * gg
+            z_vec = z * jnp.ones_like(g_fun.value(y))
+            return -f.grad(y) - jnp.sum(z_vec[:, None] * gg, axis=0)
+
         def body(s):
             y, _, it = s
-            grad_dual = -f.grad(y) - z * cgrad_total(y)
+            grad_dual = ascent_dir(y)
             y_next = jnp.maximum(y + dual_lr * grad_dual, 1e-6)
             diff = jnp.linalg.norm((y_next - y).ravel())
             return y_next, diff, it + 1
@@ -423,10 +435,16 @@ def PrimalDualSwitchingGradientMethod(f, h, L_init, cnstrnt_fun, x0, maxitrs,
     *productive* iterations only, the other two are per-iteration, all
     truncated at the |gap| < 1e-6 stopping iteration (inclusive).
 
-    Deviation from the reference (documented): the inner dual ascent
-    differentiates z * sum(cnstrnt(y)) with ``jax.grad``, where the reference
-    hand-broadcasts ``z_vec[:, None] * g_grad`` with shape assumptions that
-    only hold for scalar constraints (algorithms.py:837-840).
+    The inner dual ascent reproduces the reference's arithmetic verbatim
+    (algorithms.py:833-841), including its ``z_vec[:, None] * g_grad``
+    broadcast for vector constraints — with an AX_b constraint (gradient =
+    constant A) that term is ``len(g(x)) * z * A`` rather than the true
+    gradient of ``z * sum(g)``; golden-trajectory parity against the
+    unmodified reference driver is asserted in
+    tests/test_reference_parity.py (TestPrimalDualGolden).  The only
+    remaining semantic difference: the reference raises on NaN/Inf inside
+    the ascent, which a jitted loop cannot — NaN iterates instead propagate
+    to the gap history.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
