@@ -492,21 +492,25 @@ def _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
 
 
 def _resolve_auto_u_mode(V, u_mode):
-    """Route ``u_mode="auto"`` to the double-single engine for LARGE f64
-    problems on a TPU backend: DS + the packed int8 u-update strictly
-    dominates the mixed oracle there (146 vs ~550 us/iter at 1000x5000,
-    u error 8.4e-13 vs ~3e-12, certifies 1e-8 — both deviate from the
-    exact-f64 trajectory chaotically-but-validly).  Below the packed
-    threshold "auto" keeps its round-1 meaning (mixed iff f64-on-TPU,
-    resolved in ``_dopt_problem``; tiny problems route to host CPU via
-    the driver's AUTO_CPU fallback, which needs the f64 pytrees)."""
+    """Route ``u_mode="auto"`` to the lazy-H fused Pallas kernel for LARGE
+    f64 problems on a TPU backend (round 4): the whole iteration runs in
+    one kernel with the packed int8 design planes VMEM-resident and the
+    rank-1 H updates deferred into a per-block factored buffer —
+    ~1.1 us/iteration at 1000x5000 vs 146 us for the DS scan (which
+    streams the 35 MB packed planes from HBM every iteration) and ~550 us
+    for the mixed oracle.  State trajectories match the DS engine to
+    ~1e-14 (SP histories bit-identical over 4096 measured iterations).
+    Below the packed threshold "auto" keeps its round-1 meaning (mixed iff
+    f64-on-TPU, resolved in ``_dopt_problem``; tiny problems route to host
+    CPU via the driver's AUTO_CPU fallback, which needs the f64
+    pytrees)."""
     if u_mode != "auto":
         return u_mode
     dt = getattr(V, "dtype", None)
     if (dt is not None and str(dt) == "float64"
             and getattr(V, "size", 0) >= _OZAKI_U_MIN_SIZE
             and jax.default_backend() == "tpu"):
-        return "ds"
+        return "pallas_lazy"
     return u_mode
 
 
@@ -527,6 +531,18 @@ def _run_dopt(V, x0, eps, maxitrs, verbose, verbskip, chunk, away,
                               verbskip=verbskip, chunk=chunk,
                               refresh_every=refresh_every, interpret=interpret,
                               checkpoint=checkpoint)
+    if u_mode == "pallas_lazy":
+        # large-m whole-iteration fused kernel with the lazy-H factored
+        # carry and VMEM-resident int8 design planes (~1.1 us/iteration at
+        # 1000x5000; ops/pallas_dopt_lazy.py).  Checkpoint semantics as
+        # dopt_fw_pallas (block snapshots, refresh-level resume).
+        from ..ops.pallas_dopt_lazy import dopt_fw_pallas_lazy
+
+        interpret = jax.default_backend() != "tpu"
+        return dopt_fw_pallas_lazy(V, x0, eps, maxitrs, away=away,
+                                   verbose=verbose, verbskip=verbskip,
+                                   chunk=chunk, refresh_every=refresh_every,
+                                   interpret=interpret, checkpoint=checkpoint)
     if u_mode == "ds":
         return _run_dopt_ds(V, x0, eps, maxitrs, verbose, verbskip, chunk,
                             away, refresh_every, header,
@@ -578,13 +594,14 @@ def D_opt_FW(V, x0, eps, maxitrs, verbose=True, verbskip=1, chunk=None,
 
     ``u_mode`` selects the engine/precision: "exact" (native dtype),
     "mixed" (int8-Ozaki w-updates for f64 inputs), "auto" (f64 on TPU:
-    the double-single engine above ~2M-element designs, mixed below;
+    the lazy-H fused kernel above ~2M-element designs, mixed below;
     tiny all-f64 problems fall back to host CPU — see
     ``_resolve_auto_u_mode``), "ds" (double-single scan: f64-grade
-    trajectories from pure f32), or "pallas" (whole-iteration fused kernel,
-    double-single,
-    ~10.7 us/iter for VMEM-resident problems — the fastest engine for
-    small/medium single instances).
+    trajectories from pure f32), "pallas" (whole-iteration fused kernel
+    for small/medium VMEM-resident problems, ~10.7 us/iter), or
+    "pallas_lazy" (large-m fused kernel with deferred rank-1 H updates
+    and VMEM-resident int8 design planes, ~1.1 us/iter at 1000x5000 —
+    ops/pallas_dopt_lazy.py).
     """
     header = ("\nSolving D-opt design problem using Frank-Wolfe method\n"
               "     k      F(x)     pos_slack   neg_slack    time")

@@ -77,8 +77,11 @@ def main():
     # On the host fallback the DS (two-float32) arithmetic is pure
     # overhead — the CPU has native f64, and the exact engine reproduces
     # the reference trajectory bit-identically (34 s recorded) where DS
-    # pairs cost minutes.  DS is the TPU engine.
-    u_mode = "ds" if tpu_ok else "exact"
+    # pairs cost minutes.  On the chip, "auto" resolves to the round-4
+    # lazy-H fused Pallas kernel (ops/pallas_dopt_lazy.py): the whole
+    # iteration in one kernel, packed int8 design planes VMEM-resident,
+    # rank-1 H updates deferred into a per-block factored buffer.
+    u_mode = "auto" if tpu_ok else "exact"
     walls = []
     for _ in range(3 if tpu_ok else 2):
         x, F, SP, SN, T = acc.D_opt_FW_away(V64, x0, eps=base["config"]["eps"],

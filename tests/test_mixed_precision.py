@@ -135,14 +135,15 @@ def test_dopt_ds_packed_u_certifies(monkeypatch):
 
 
 def test_auto_u_mode_routing(monkeypatch):
-    """auto routes big-f64-on-TPU to the DS engine; everything else keeps
-    its prior meaning (downstream mixed/exact resolution)."""
+    """auto routes big-f64-on-TPU to the lazy-H fused kernel (round 4);
+    everything else keeps its prior meaning (downstream mixed/exact
+    resolution)."""
     from accbpg_and_fw_tpu.algorithms import d_opt
 
     V_big = np.zeros((2, 3))  # dtype/size carriers
     monkeypatch.setattr(d_opt, "_OZAKI_U_MIN_SIZE", 6)
     monkeypatch.setattr(d_opt.jax, "default_backend", lambda: "tpu")
-    assert d_opt._resolve_auto_u_mode(V_big, "auto") == "ds"
+    assert d_opt._resolve_auto_u_mode(V_big, "auto") == "pallas_lazy"
     assert d_opt._resolve_auto_u_mode(V_big, "mixed") == "mixed"
     assert d_opt._resolve_auto_u_mode(V_big, "exact") == "exact"
     assert d_opt._resolve_auto_u_mode(

@@ -1,0 +1,106 @@
+"""Lazy-H fused Pallas kernel (ops/pallas_dopt_lazy.py) — interpret-mode
+correctness on CPU.  On-chip evidence (recorded in BASELINE.md round 4):
+SP histories bit-identical to the DS scan over 4096 iterations at
+1000x5000, x agreement ~4e-16, kernel ~1.1 us/iteration."""
+
+import numpy as np
+import pytest
+
+import accbpg_and_fw_tpu as acc
+from accbpg_and_fw_tpu.ops.pallas_dopt_lazy import dopt_fw_pallas_lazy
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((12, 160))
+    x0 = np.full(160, 1.0 / 160)
+    return V, x0
+
+
+class TestLazyKernelInterpret:
+    def test_matches_ds_engine(self, problem):
+        V, x0 = problem
+        x1, F1, SP1, SN1, T1 = dopt_fw_pallas_lazy(
+            V, x0, 1e-8, 60, verbose=False, interpret=True, group=1)
+        x2, F2, SP2, SN2, T2 = acc.D_opt_FW_away(
+            V, x0, eps=1e-8, maxitrs=60, verbose=False, u_mode="ds",
+            chunk=60)
+        assert len(F1) == len(F2)
+        np.testing.assert_allclose(np.asarray(SP1, np.float64),
+                                   np.asarray(SP2, np.float64),
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=1e-11)
+        # F histories: the kernel reconstructs logdet increments on host in
+        # f64 from the recorded f32 (tau, tau*(w_v-1)) rows; the DS scan
+        # evaluates log1p in f32 on device — known ~1e-5-level history
+        # deviation (quality is always certified fresh, CLAUDE.md)
+        np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                                   rtol=1e-4)
+
+    def test_budget_exact_mid_block(self, problem):
+        V, x0 = problem
+        x1, F1, SP1, SN1, T1 = dopt_fw_pallas_lazy(
+            V, x0, 1e-8, 37, verbose=False, interpret=True, group=1)
+        assert len(F1) == len(SP1) == len(SN1) == 37
+
+    def test_multi_block_chain(self, problem):
+        """Crossing a refresh boundary (KR=256 is the production block;
+        interpret runs are tiny, so exercise the multi-block group path
+        with group=2 over a budget larger than one inner block."""
+        V, x0 = problem
+        x1, F1, *_ = dopt_fw_pallas_lazy(
+            V, x0, 1e-8, 70, verbose=False, interpret=True, group=2)
+        x2, F2, *_ = acc.D_opt_FW_away(
+            V, x0, eps=1e-8, maxitrs=70, verbose=False, u_mode="ds",
+            chunk=70)
+        assert len(F1) == len(F2)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=1e-11)
+
+    def test_convergence_truncation(self):
+        rng = np.random.default_rng(11)
+        V = rng.standard_normal((8, 64))
+        x0 = np.full(64, 1.0 / 64)
+        eps = 1e-3
+        x1, F1, SP1, SN1, T1 = dopt_fw_pallas_lazy(
+            V, x0, eps, 200, verbose=False, interpret=True, group=1)
+        assert len(F1) < 200  # converged early
+        assert SP1[-1] <= np.float32(eps) and SN1[-1] <= np.float32(eps)
+        # all earlier rows miss the criterion (truncated at the FIRST hit)
+        before = (np.asarray(SP1[:-1]) <= np.float32(eps)) \
+            & (np.asarray(SN1[:-1]) <= np.float32(eps))
+        assert not before.any()
+        # fresh f64 certification of the final iterate
+        xs = np.asarray(x1, np.float64)
+        xs = np.maximum(xs, 0.0)
+        xs /= xs.sum()
+        G = (V * xs) @ V.T
+        w = np.einsum("ji,jk,ki->i", V, np.linalg.inv(G), V)
+        assert w.max() / V.shape[0] - 1.0 <= 2e-3
+
+    def test_checkpoint_resume(self, problem, tmp_path):
+        V, x0 = problem
+        ck = str(tmp_path / "lazy.npz")
+        out_a = dopt_fw_pallas_lazy(V, x0, 1e-8, 40, verbose=False,
+                                    interpret=True, group=1, checkpoint=ck)
+        out_b = dopt_fw_pallas_lazy(V, x0, 1e-8, 80, verbose=False,
+                                    interpret=True, group=1, checkpoint=ck)
+        assert len(out_b[1]) == 80
+        # the first 40 rows come from the saved histories verbatim
+        np.testing.assert_array_equal(np.asarray(out_b[2][:40]),
+                                      np.asarray(out_a[2]))
+
+    def test_plain_fw_variant(self, problem):
+        V, x0 = problem
+        x1, F1, SP1, SN1, T1 = dopt_fw_pallas_lazy(
+            V, x0, 1e-8, 50, verbose=False, interpret=True, group=1,
+            away=False)
+        x2, F2, SP2, SN2, T2 = acc.D_opt_FW(
+            V, x0, eps=1e-8, maxitrs=50, verbose=False, u_mode="ds",
+            chunk=50)
+        assert len(F1) == len(F2)
+        np.testing.assert_allclose(np.asarray(SP1, np.float64),
+                                   np.asarray(SP2, np.float64),
+                                   rtol=0, atol=1e-9)
