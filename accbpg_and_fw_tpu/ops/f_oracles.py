@@ -33,9 +33,26 @@ from .base import SmoothOracle
 @pytree_dataclass
 class DOptimalObj(SmoothOracle):
     """f(x) = -log det(H diag(x) H^T), H is m-by-n with m < n
-    (reference: functions.py:27-82)."""
+    (reference: functions.py:27-82).
+
+    ``n_valid``: when set (by ``parallel.shard_dopt_problem`` for
+    mesh-padded designs), gradient entries past it report +1e30 instead of
+    the 0 a zero column produces.  Zero-padding is exactly neutral for
+    gradient-mapped proxes (``div_prox_map`` sends pads to 0 through
+    h'(0) = -inf) and for the FW argmin, but NOT for ``h.prox_map`` on
+    accumulated duals (ABDA): a 0 gradient there hands padded coordinates
+    real mass.  A +1e30 entry makes every Burg/simplex prox map pads to
+    ~1e-30 mass while line-search inner products stay exact (pad iterates
+    are exactly 0, and 0 * 1e30 == 0)."""
 
     H: Any = None
+    n_valid: Any = None
+
+    def _mask_pads(self, g):
+        if self.n_valid is None:
+            return g
+        lane = jnp.arange(g.shape[-1])
+        return jnp.where(lane < self.n_valid, g, jnp.asarray(1e30, g.dtype))
 
     @property
     def m(self):
@@ -63,7 +80,7 @@ class DOptimalObj(SmoothOracle):
         # g_i = -h_i^T (HXHT)^{-1} h_i = -||R^{-1} h_i||^2
         W = solve_triangular(R, self.H, lower=True)
         g = -jnp.sum(W * W, axis=0)
-        return f, g
+        return f, self._mask_pads(g)
 
     # -- fast-Gram protocol (stateful accelerated drivers; ABPG_gain
     #    fast_gram=True).  The Gram G(x) = H diag(x) H^T is linear in x, so

@@ -77,19 +77,26 @@ def shard_dopt_problem(f, x0, mesh: Mesh, axis_name: str = "data",
     the design is zero-padded to the next multiple — exactly neutral for
     the D-opt solvers (see ``_pad_cols``); returned arrays have the padded
     length and the padding x entries stay identically 0 (slice them off
-    with ``x[:n]``).  Note the zero-pad argument does NOT extend to
-    ``h.prox_map`` used directly on arbitrary g (ABDA's dual averaging):
-    only gradient-of-f inputs map pads to 0 there.
+    with ``x[:n]``).  The zero-pad argument alone does NOT extend to
+    ``h.prox_map`` used directly on arbitrary g (ABDA's dual averaging),
+    so the returned oracle carries ``n_valid``: padded gradient entries
+    report +1e30, which every prox maps to ~0 mass (DOptimalObj
+    docstring) — ABDA on a padded mesh then matches the unpadded problem
+    (tests/test_parallel.py::test_abda_padded_mesh).
     """
     ndev = int(mesh.shape[axis_name])
     H, x0 = jnp.asarray(f.H), jnp.asarray(x0)
+    n = H.shape[1]
+    n_valid = None
     if pad:
         H, x0 = _pad_cols(H, x0, ndev)
+        if H.shape[1] != n:
+            n_valid = n
     col_sharding = NamedSharding(mesh, P(None, axis_name))
     vec_sharding = NamedSharding(mesh, P(axis_name))
     H = jax.device_put(H, col_sharding)
     x0 = jax.device_put(x0, vec_sharding)
-    return replace(f, H=H), x0
+    return replace(f, H=H, n_valid=n_valid), x0
 
 
 def shard_dopt_design(V, x0, mesh: Mesh, axis_name: str = "data",

@@ -74,6 +74,24 @@ class TestShardedDOpt:
         np.testing.assert_allclose(np.asarray(x1), x2[:50], atol=1e-11)
         np.testing.assert_array_equal(x2[50:], 0.0)  # pads never move
 
+    def test_abda_padded_mesh(self, mesh):
+        """ABDA's dual averaging calls h.prox_map on accumulated duals,
+        where zero-pad neutrality does NOT hold by itself (round-3 verdict
+        weak #2).  The sharded oracle's n_valid mask (+1e30 pad gradients)
+        must make the padded trajectory match the unpadded one."""
+        f, h, L, x0 = acc.D_opt_design(10, 44, randseed=9)  # 44 % 8 != 0
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+        assert f_sh.n_valid == 44
+
+        out1 = acc.ABDA(f, h, L, x0, gamma=2, maxitrs=40, verbose=False)
+        out2 = acc.ABDA(f_sh, h, L, x_sh, gamma=2, maxitrs=40, verbose=False)
+        np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
+                                   rtol=1e-8)
+        x2 = np.asarray(out2[0])
+        np.testing.assert_allclose(np.asarray(out1[0]), x2[:44], atol=1e-9)
+        # padded coordinates hold only the prox's ~1e-30 floor mass
+        assert np.abs(x2[44:]).max() < 1e-12
+
     def test_fw_away_sharded_non_divisible_n(self, mesh):
         f, h, L, x0 = acc.D_opt_design(10, 50, randseed=4)
         V = np.asarray(f.H)
