@@ -73,6 +73,38 @@ def main():
                             fast_gram=True)
     out["bpg_F"] = float(np.asarray(Fb)[-1])
 
+    # row-sharded Poisson regression (data-parallel layout): samples split
+    # across processes, per-iteration psums of the loss/gradient reductions
+    from accbpg_and_fw_tpu.parallel import (shard_regression_problem,
+                                            shard_symnmf_problem)
+
+    fp, hp, Lp, xp0 = acc.Poisson_regrL1(64, 20, noise=0.0001, randseed=2)
+    fp_sh, xp_sh = shard_regression_problem(fp, xp0, mesh)
+    rp = acc.BPG(fp_sh, hp, Lp, xp_sh, maxitrs=50, linesearch=False,
+                 verbose=False)
+    out["poisson_F"] = float(np.asarray(rp[1])[-1])
+
+    # row-sharded KL regression
+    fk, hk, Lk, xk0 = acc.KL_nonneg_regr(64, 20, noise=0.001, randseed=4)
+    fk_sh, xk_sh = shard_regression_problem(fk, xk0, mesh)
+    rk = acc.BPG(fk_sh, hk, Lk, xk_sh, maxitrs=50, linesearch=False,
+                 verbose=False)
+    out["kl_F"] = float(np.asarray(rk[1])[-1])
+
+    # row-sharded SymNMF: the n x n similarity matrix splits row-wise, the
+    # n x r factor too; X^T X and kernel norms psum across processes
+    rng = np.random.default_rng(6)
+    nsym, rsym = 64, 4
+    Y = np.abs(rng.standard_normal((nsym, rsym)))
+    M = Y @ Y.T / rsym + 0.01 * np.abs(rng.standard_normal((nsym, nsym)))
+    M = 0.5 * (M + M.T)
+    np.random.seed(3)
+    fs, (hs, _), Ls_, X0s = acc.FrobeniusSymLossResMeasEx(M, rsym)
+    fs_sh, Xs_sh = shard_symnmf_problem(fs, X0s, mesh)
+    rs = acc.BPG(fs_sh, hs, Ls_, Xs_sh, maxitrs=50, linesearch=False,
+                 verbose=False)
+    out["symnmf_F"] = float(np.asarray(rs[1])[-1])
+
     if pid == 0:
         print("RESULT " + json.dumps(out), flush=True)
 

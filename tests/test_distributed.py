@@ -78,3 +78,27 @@ class TestTwoProcessCluster:
         xb, Fb, Ls, T = acc.BPG(f, h, L, x0, maxitrs=40, verbose=False,
                                 fast_gram=True)
         assert abs(cluster_result["bpg_F"] - float(np.asarray(Fb)[-1])) < 1e-9
+
+    def test_row_sharded_poisson_parity(self, cluster_result):
+        f, h, L, x0 = acc.Poisson_regrL1(64, 20, noise=0.0001, randseed=2)
+        r = acc.BPG(f, h, L, x0, maxitrs=50, linesearch=False, verbose=False)
+        assert abs(cluster_result["poisson_F"]
+                   - float(np.asarray(r[1])[-1])) < 1e-9
+
+    def test_row_sharded_kl_parity(self, cluster_result):
+        f, h, L, x0 = acc.KL_nonneg_regr(64, 20, noise=0.001, randseed=4)
+        r = acc.BPG(f, h, L, x0, maxitrs=50, linesearch=False, verbose=False)
+        assert abs(cluster_result["kl_F"]
+                   - float(np.asarray(r[1])[-1])) < 1e-9
+
+    def test_row_sharded_symnmf_parity(self, cluster_result):
+        rng = np.random.default_rng(6)
+        n, rr = 64, 4
+        Y = np.abs(rng.standard_normal((n, rr)))
+        M = Y @ Y.T / rr + 0.01 * np.abs(rng.standard_normal((n, n)))
+        M = 0.5 * (M + M.T)
+        np.random.seed(3)
+        f, (h, _), L, X0 = acc.FrobeniusSymLossResMeasEx(M, rr)
+        r = acc.BPG(f, h, L, X0, maxitrs=50, linesearch=False, verbose=False)
+        assert abs(cluster_result["symnmf_F"]
+                   - float(np.asarray(r[1])[-1])) < 1e-9
