@@ -40,6 +40,7 @@ def main():
     p.add_argument("--lamda", type=float, default=1e-3)
     p.add_argument("--skip-numpy", action="store_true")
     p.add_argument("--mixed", action="store_true")
+    p.add_argument("--levels", type=int, default=7)
     a = p.parse_args()
 
     import jax.numpy as jnp
@@ -74,7 +75,9 @@ def main():
         import jax
 
         jax.config.update("jax_enable_x64", True)
-        fm = acc.KLdivRegressionMixed.from_data(A64, b64)
+        fm = acc.KLdivRegressionMixed.from_data(A64, b64,
+                                                levels=a.levels)
+        out["config"]["levels"] = a.levels
         hm = acc.ShannonEntropyL1(lamda=jnp.float64(a.lamda))
         for _ in range(2):
             x, F, Ls, T = acc.BPG(fm, hm, L, jnp.asarray(x064),

@@ -33,6 +33,25 @@ def test_fw_l0l1_example():
     assert all(F[-1] < F[0] for F in out.values())
 
 
+def test_fw_l0l1_data_regimes():
+    """The good-data / ill-conditioned study sweeps (reference notebooks
+    ex_L0_L1_and_FW_good_data.ipynb / ..._ill_cond_data.ipynb) at smoke
+    scale: every step rule must make progress in both regimes."""
+    import ex_fw_l0l1
+
+    for name in ("good", "illcond"):
+        panels = ex_fw_l0l1.run_regime(name, maxitrs=30, save=False,
+                                       configs=[(60, 24)])
+        (_, out), = panels
+        assert set(out) == {"FW-L0L1 log+lin", "FW-L0L1 log", "FW-classic",
+                            "FW-L0L1 shortest"}
+        import numpy as np
+
+        for k, F in out.items():
+            assert np.isfinite(np.asarray(F)).all(), (name, k)
+            assert float(F[-1]) <= float(F[0]), (name, k)
+
+
 def test_symnmf_example():
     import ex_SymNMF
 
