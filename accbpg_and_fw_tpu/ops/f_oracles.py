@@ -598,6 +598,80 @@ class KLdivRegressionMixed(_RegressionMixed):
 
 
 @pytree_dataclass
+class PoissonRegressionDS(_RegressionMixed):
+    """``PoissonRegressionMixed`` with DOUBLE-SINGLE elementwise internals
+    (round-4 verdict item 8): the two packed int8 GEMVs combine in DS
+    (``ozaki_gemv_packed_ds``) and the m-vector log/divides run as DS
+    f32-pair transcendentals — no emulated-f64 arithmetic anywhere inside
+    the oracle; f64 appears only at the driver API boundary (the iterate
+    and the returned value/gradient).  Same ~1e-13-relative oracle grade;
+    removes the mixed oracle's emulated-f64 elementwise tax on TPU."""
+
+    accept_tol = 1e-10
+
+    def _ax_ds(self, x_ds):
+        from . import mixed_precision as mp
+
+        return mp.ozaki_gemv_packed_ds(
+            x_ds, self.AT_p, jnp.asarray(self.AT_s, jnp.float32),
+            levels_b=self.levels, levels_a=self.levels)
+
+    def _rta_ds(self, r_ds):
+        from . import mixed_precision as mp
+
+        return mp.ozaki_gemv_packed_ds(
+            r_ds, self.A_p, jnp.asarray(self.A_s, jnp.float32),
+            levels_b=self.levels, levels_a=self.levels)
+
+    def _terms(self, x):
+        from . import double_single as dsl
+
+        x_ds = dsl.from_f64(jnp.asarray(x, jnp.float64))
+        b_ds = dsl.from_f64(self.b)
+        Ax = self._ax_ds(x_ds)
+        return dsl, b_ds, Ax
+
+    def value(self, x, key=None):
+        dsl, b_ds, Ax = self._terms(x)
+        # sum(b*log(b/Ax) + Ax - b)
+        t = dsl.add(dsl.mul(b_ds, dsl.log(dsl.div(b_ds, Ax))),
+                    dsl.sub(Ax, b_ds))
+        s = dsl.sum_along(t, 0)
+        return dsl.to_f64(s)
+
+    def value_and_grad(self, x, key=None):
+        dsl, b_ds, Ax = self._terms(x)
+        t = dsl.add(dsl.mul(b_ds, dsl.log(dsl.div(b_ds, Ax))),
+                    dsl.sub(Ax, b_ds))
+        f = dsl.to_f64(dsl.sum_along(t, 0))
+        one = (jnp.ones_like(Ax[0]), jnp.zeros_like(Ax[0]))
+        r = dsl.sub(one, dsl.div(b_ds, Ax))
+        g = self._rta_ds(r)
+        return f, dsl.to_f64(g)
+
+
+@pytree_dataclass
+class KLdivRegressionDS(PoissonRegressionDS):
+    """``KLdivRegressionMixed`` with DS elementwise internals — see
+    ``PoissonRegressionDS`` (f(x) = D_KL(Ax, b), reference
+    functions.py:123-158)."""
+
+    def value(self, x, key=None):
+        dsl, b_ds, Ax = self._terms(x)
+        r = dsl.log(dsl.div(Ax, b_ds))
+        t = dsl.add(dsl.mul(Ax, r), dsl.sub(b_ds, Ax))
+        return dsl.to_f64(dsl.sum_along(t, 0))
+
+    def value_and_grad(self, x, key=None):
+        dsl, b_ds, Ax = self._terms(x)
+        r = dsl.log(dsl.div(Ax, b_ds))
+        t = dsl.add(dsl.mul(Ax, r), dsl.sub(b_ds, Ax))
+        f = dsl.to_f64(dsl.sum_along(t, 0))
+        g = self._rta_ds(r)
+        return f, dsl.to_f64(g)
+
+
+@pytree_dataclass
 class SVMfunMixed(_RegressionMixed):
     """``SVM_fun`` (mean hinge + (lamda/2)||x||^2) with both GEMV
     orientations as exact int8 Ozaki products — the same two packed

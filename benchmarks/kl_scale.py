@@ -41,6 +41,10 @@ def main():
     p.add_argument("--skip-numpy", action="store_true")
     p.add_argument("--mixed", action="store_true")
     p.add_argument("--levels", type=int, default=7)
+    p.add_argument("--ds", action="store_true",
+                   help="DS-elementwise oracle (KLdivRegressionDS): packed"
+                        " int8 GEMVs with DS combines, DS log — no"
+                        " emulated-f64 inside the oracle")
     a = p.parse_args()
 
     import jax.numpy as jnp
@@ -90,6 +94,21 @@ def main():
                 out["numpy_wall_s"] / max(out["mixed_wall_s"], 1e-9), 1)
             out["mixed_F_absdiff"] = abs(out["mixed_F_final"]
                                          - out["numpy_F_final"])
+    if a.ds:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        fd = acc.KLdivRegressionDS.from_data(A64, b64, levels=a.levels)
+        hd = acc.ShannonEntropyL1(lamda=jnp.float64(a.lamda))
+        for _ in range(2):
+            x, F, Ls, T = acc.BPG(fd, hd, L, jnp.asarray(x064),
+                                  maxitrs=a.maxitrs, linesearch=False,
+                                  verbose=False)
+        out["ds_wall_s"] = round(float(T[-1]), 3)
+        out["ds_F_final"] = float(F[-1])
+        if "numpy_wall_s" in out:
+            out["ds_speedup"] = round(
+                out["numpy_wall_s"] / max(out["ds_wall_s"], 1e-9), 1)
     if "numpy_wall_s" in out:
         out["speedup"] = round(
             out["numpy_wall_s"] / max(out["ours_wall_s"], 1e-9), 1)

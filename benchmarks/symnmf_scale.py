@@ -80,6 +80,9 @@ def main():
     p.add_argument("--skip-numpy", action="store_true")
     p.add_argument("--mixed", action="store_true",
                    help="also run the f64-grade mixed-precision oracle")
+    p.add_argument("--levels", type=int, default=7,
+                   help="int8 digit planes for the mixed oracle (7 = ~1e-13"
+                        " rel; each level is n^2 bytes of per-call stream)")
     a = p.parse_args()
 
     M, X0, sigma = make_instance(a.n, a.r, a.seed)
@@ -116,7 +119,8 @@ def main():
         import jax
 
         jax.config.update("jax_enable_x64", True)
-        fm = acc.FrobeniusSymLossMixed.from_data(M)
+        fm = acc.FrobeniusSymLossMixed.from_data(M, levels=a.levels)
+        out["config"]["levels"] = a.levels
         hm = acc.SumOf2nd4thPowersPositiveOrthant(
             alpha=jnp.float64(alpha), sigma=jnp.float64(sigma),
             upper_bound=None)

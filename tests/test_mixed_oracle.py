@@ -212,3 +212,56 @@ def test_abpg_gain_converges_like_f64():
         assert gb > 0 and ga > 0
         assert gb <= 2.5 * ga + 1e-12, (k, ga, gb)
         assert ga <= 2.5 * gb + 1e-12, (k, ga, gb)
+
+
+class TestRegressionDS:
+    """DS-elementwise regression oracles (round-4 verdict item 8): packed
+    int8 GEMVs with DS combines + DS transcendentals, f64 only at the API
+    boundary — must match the Mixed oracles (which keep f64 elementwise)
+    at the ~1e-12 oracle grade, both as raw oracles and through a BPG
+    trajectory."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(3)
+        A = np.abs(rng.standard_normal((80, 40))) + 0.1
+        b = np.abs(rng.standard_normal(80)) + 0.5
+        x = np.abs(rng.standard_normal(40)) + 0.1
+        return A, b, x
+
+    @pytest.mark.parametrize("ds_cls,mx_cls", [
+        ("KLdivRegressionDS", "KLdivRegressionMixed"),
+        ("PoissonRegressionDS", "PoissonRegressionMixed"),
+    ])
+    def test_oracle_parity(self, data, ds_cls, mx_cls):
+        import jax.numpy as jnp
+
+        A, b, x = data
+        fd = getattr(acc, ds_cls).from_data(A, b)
+        fm = getattr(acc, mx_cls).from_data(A, b)
+        f1, g1 = fd.value_and_grad(jnp.asarray(x))
+        f2, g2 = fm.value_and_grad(jnp.asarray(x))
+        assert abs(float(f1) - float(f2)) <= 1e-11 * abs(float(f2))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-10, atol=1e-12)
+        v1 = float(fd.value(jnp.asarray(x)))
+        v2 = float(fm.value(jnp.asarray(x)))
+        assert abs(v1 - v2) <= 1e-10 * max(1.0, abs(v2))
+
+    def test_bpg_trajectory_matches_f64(self):
+        import jax.numpy as jnp
+
+        f, h, L, x0 = acc.KL_nonneg_regr(80, 40, noise=0.01, lamdaL1=1e-3,
+                                         randseed=7)
+        A64 = np.asarray(f.A, np.float64)
+        b64 = np.asarray(f.b, np.float64)
+        f64o = acc.KLdivRegression(A=jnp.asarray(A64),
+                                   b=jnp.asarray(b64))
+        fd = acc.KLdivRegressionDS.from_data(A64, b64)
+        x064 = jnp.asarray(np.asarray(x0, np.float64))
+        r1 = acc.BPG(f64o, h, L, x064, maxitrs=40, linesearch=False,
+                     verbose=False)
+        r2 = acc.BPG(fd, h, L, x064, maxitrs=40, linesearch=False,
+                     verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-9)
