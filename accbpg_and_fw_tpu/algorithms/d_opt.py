@@ -510,7 +510,24 @@ def _resolve_auto_u_mode(V, u_mode):
     if (dt is not None and str(dt) == "float64"
             and getattr(V, "size", 0) >= _OZAKI_U_MIN_SIZE
             and jax.default_backend() == "tpu"):
-        return "pallas_lazy"
+        m, n = V.shape
+        MP = max(8, 1 << (max(m, 8) - 1).bit_length())
+        NP = -(-n // 128) * 128
+        # the lazy kernel keeps the packed design + H0 planes VMEM-resident
+        # (8 int8 digit levels each); past the ~70 MB working budget of the
+        # 110 MB compiler grant the kernel cannot compile — stream from HBM
+        # via the DS scan instead (1000x20000 lands here)
+        vmem_bytes = 8 * MP * NP + 8 * MP * MP
+        if vmem_bytes <= 70 * 1024 * 1024:
+            # VMEM-resident packed design: the lazy kernel's domain at any
+            # m above the packed threshold — measured 1.82 s vs the DS
+            # scan's 2.99 s at 1000x5000 (bench) and 1.45 s vs 2.93 s per
+            # 4000 iters at 30x100000 (the dense pallas kernel VMEM-OOMs
+            # there: its butterfly temporaries scale with m*n).  Past the
+            # budget (1000x20000: 173 MB) the DS scan streams from HBM
+            # (measured 114.8x).
+            return "pallas_lazy"
+        return "ds"
     return u_mode
 
 
