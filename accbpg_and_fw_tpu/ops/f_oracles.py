@@ -879,6 +879,74 @@ class FrobeniusSymLossMixed(SmoothOracle):
 
 
 @pytree_dataclass
+class FrobeniusSymLossDS(SmoothOracle):
+    """``FrobeniusSymLossMixed`` with DOUBLE-SINGLE interiors (round-4
+    profiling: the mixed oracle measured 2.38 ms/call at 4096x32 —
+    levels-INVARIANT, so bound by its emulated-f64 combines and tails,
+    not by streaming M's digit planes).  Here every combine and tail is
+    (hi, lo) f32: M @ X through ``ozaki_mm_presplit_ds``, X^T X through
+    ``ozaki_gram_ds``, X @ (X^T X) through ``ozaki_mm_ds``, all vdots as
+    DS folds.  f64 exists only at the driver API boundary.
+
+    Reference oracle: functions.py:908-1034."""
+
+    M_d: Any = None      # (levels*n, n) int8 row-digit planes of M
+    M_s: Any = None      # (n, 1) f32 row scales (powers of two)
+    M_norm2: Any = None  # ||M||_F^2 (f64 host scalar)
+    levels: int = static_field(default=7)
+
+    accept_tol = 1e-10
+
+    @classmethod
+    def from_data(cls, M, levels: int = 7):
+        from . import mixed_precision as mp
+
+        M = jnp.asarray(M, jnp.float64)
+        dM, sM = mp.digit_split_rows(M, levels)
+        return cls(M_d=dM.reshape(levels * M.shape[0], M.shape[1]),
+                   M_s=jnp.asarray(sM, jnp.float32),
+                   M_norm2=jnp.vdot(M, M), levels=levels)
+
+    def _pieces(self, x):
+        from . import double_single as dsl
+        from . import mixed_precision as mp
+
+        x_ds = dsl.from_f64(jnp.asarray(x, jnp.float64))
+        dX, sX = mp.digit_split_matrix_ds(x_ds[0], x_ds[1], self.levels)
+        MX = mp.ozaki_mm_presplit_ds(self.M_d, self.M_s,
+                                     mp.pack_digit_planes(dX), sX,
+                                     self.levels, self.levels)
+        dXt, sXt = mp.digit_split_rows_ds(x_ds[0].T, x_ds[1].T, self.levels)
+        XtX = mp.ozaki_gram_ds(dXt, sXt, dXt, sXt)
+        return dsl, mp, x_ds, MX, XtX
+
+    @staticmethod
+    def _vdot_ds(dsl, a, b):
+        t = dsl.mul(a, b)
+        return dsl.sum_along(dsl.sum_along(t, 1), 0)
+
+    def _value_ds(self, dsl, x_ds, MX, XtX):
+        q = self._vdot_ds(dsl, XtX, XtX)
+        c = self._vdot_ds(dsl, x_ds, MX)
+        v = dsl.sub(dsl.mul_f32(q, jnp.float32(0.5)), c)
+        return 0.5 * self.M_norm2 + dsl.to_f64(v)
+
+    def value(self, x, key=None):
+        dsl, mp_, x_ds, MX, XtX = self._pieces(x)
+        return self._value_ds(dsl, x_ds, MX, XtX)
+
+    def value_and_grad(self, x, key=None):
+        dsl, mp_, x_ds, MX, XtX = self._pieces(x)
+        f = self._value_ds(dsl, x_ds, MX, XtX)
+        dK, sK = mp_.digit_split_matrix_ds(XtX[0], XtX[1], self.levels)
+        xK = mp_.ozaki_mm_ds(x_ds[0], x_ds[1], mp_.pack_digit_planes(dK),
+                             sK, levels_b=self.levels,
+                             levels_m=self.levels)
+        g = dsl.mul_f32(dsl.sub(xK, MX), jnp.float32(2.0))
+        return f, dsl.to_f64(g)
+
+
+@pytree_dataclass
 class AX_b(SmoothOracle):
     """Affine map f(X) = X A - b, used as the constraint function of the
     primal-dual switching method (reference: functions.py:1037-1065).

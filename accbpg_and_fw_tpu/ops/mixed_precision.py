@@ -255,13 +255,13 @@ def ozaki_mm_ds(Mh, Ml, B_packed, sB, levels_b: int, levels_m: int = 7,
     result) in plain f32 — same argument as ``ozaki_gemv_packed``."""
     from . import double_single as _ds
 
-    m = Mh.shape[0]
+    m, kdim = Mh.shape
     n = B_packed.shape[1] // levels_b
     if max_diag is None:
         max_diag = levels_m + levels_b - 2
     dM, sM = digit_split_rows_ds(Mh, Ml, levels_m)
     P = lax.dot_general(
-        dM.reshape(levels_m * m, m), B_packed,
+        dM.reshape(levels_m * m, kdim), B_packed,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).reshape(levels_m, m, levels_b, n)
@@ -444,3 +444,39 @@ def ozaki_mm_presplit(dM_flat, sM, B_packed, sB, levels_m: int,
                 BASE ** -(d + 2))
     out = out + tail.astype(jnp.float64)
     return out * (sM * sB)
+
+
+def ozaki_mm_presplit_ds(dM_flat, sM, B_packed, sB, levels_m: int,
+                         levels_b: int, max_diag: int | None = None):
+    """``ozaki_mm_presplit`` with a DOUBLE-SINGLE combine — P = M @ B as
+    (hi, lo) f32 planes, no f64 anywhere (the presplit form keeps the
+    constant M's digit planes amortized; same exactness argument as
+    ``ozaki_mm_ds``: leading diagonals accumulate through exact int32->DS
+    conversion, the geometrically-vanishing tail in plain f32)."""
+    from . import double_single as _ds
+
+    m = dM_flat.shape[0] // levels_m
+    n = B_packed.shape[1] // levels_b
+    if max_diag is None:
+        max_diag = levels_m + levels_b - 2
+    P = lax.dot_general(
+        dM_flat, B_packed,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(levels_m, m, levels_b, n)
+    out = _ds.from_f32(jnp.zeros((m, n), jnp.float32))
+    tail = jnp.zeros((m, n), jnp.float32)
+    for d in range(min(max_diag, levels_m + levels_b - 2) + 1):
+        acc = None
+        for p in range(max(0, d - levels_b + 1), min(d, levels_m - 1) + 1):
+            t = P[p, :, d - p, :]
+            acc = t if acc is None else acc + t
+        scale = jnp.float32(BASE ** -(d + 2))
+        if d < 3:
+            term = _ds.int32_to_ds(acc)
+            out = _ds.add(out, (term[0] * scale, term[1] * scale))
+        else:
+            tail = tail + acc.astype(jnp.float32) * scale
+    out = _ds.add(out, _ds.from_f32(tail))
+    s = jnp.asarray(sM, jnp.float32) * jnp.asarray(sB, jnp.float32)
+    return out[0] * s, out[1] * s

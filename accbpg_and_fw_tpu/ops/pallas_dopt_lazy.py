@@ -71,6 +71,12 @@ _LANE = 128
 LEV = 8           # int8 digit levels for V and H0 (48 bits ~ DS precision)
 _MAX_DIAG = 9     # digit diagonals kept in the combines (64^-11 rel trunc)
 _KR = 256         # iterations per launch block == rank-buffer capacity
+
+# development aid (cf. pallas_dopt._ABLATE): kernel-body stages to skip when
+# profiling ("extract", "h0v", "corr", "udot", "wupd", "append", "select").
+# Clear _build_lazy_chunk_fn.cache_clear() after changing.  Never set in
+# production paths.
+_ABLATE: frozenset = frozenset()
 # matmul slab width (lanes) for the big packed-V dots: full-ref operands
 # would materialize a 40 MB stack value per dot (probed OOM at 110 MB)
 _SLAB = 10240
@@ -135,6 +141,7 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
     xtol = scal_ref[1]
     kmax = scal_ref[2].astype(jnp.int32)
 
+    A = _ABLATE
     lane = lax.broadcasted_iota(jnp.int32, (1, NP), 1)
     laneK = lax.broadcasted_iota(jnp.int32, (1, KR), 1)
     subK = lax.broadcasted_iota(jnp.int32, (KR, 1), 0)
@@ -222,14 +229,19 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
         # per slab (a full-ref operand would be a 40 MB stack value)
         vq = imin if not away else jnp.min(jnp.where(vmask, lane, NP + 1),
                                            keepdims=True)
-        Vi_d = jnp.zeros((8, MP), jnp.int32)
-        for s0, sw in slabs:
-            p = lax.broadcasted_iota(jnp.int32, (sw, 8), 0) + s0
-            lev_i = lax.broadcasted_iota(jnp.int32, (sw, 8), 1)
-            ohs = (p == lev_i * NP + vq).astype(jnp.int8)
-            Vi_d = Vi_d + lax.dot_general(
-                ohs, vp_ref[:, s0:s0 + sw], (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
+        if "extract" in A:
+            # loop-invariant digits (hoisted by Mosaic — times the kernel
+            # with the extraction dots absent)
+            Vi_d = lax.broadcasted_iota(jnp.int32, (8, MP), 1) % 63
+        else:
+            Vi_d = jnp.zeros((8, MP), jnp.int32)
+            for s0, sw in slabs:
+                p = lax.broadcasted_iota(jnp.int32, (sw, 8), 0) + s0
+                lev_i = lax.broadcasted_iota(jnp.int32, (sw, 8), 1)
+                ohs = (p == lev_i * NP + vq).astype(jnp.int8)
+                Vi_d = Vi_d + lax.dot_general(
+                    ohs, vp_ref[:, s0:s0 + sw], (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
         # dequantize: Vi = sV[v] * sum_l d_l 64^-(l+1), Horner with exact
         # power-of-two scalings and integer folds
         sv_v = jnp.sum(jnp.where(vmask, sv_ref[:], 0.0), keepdims=True)
@@ -241,50 +253,68 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
         Vi = (acc[0] * sv_v, acc[1] * sv_v)  # sV is a power of two: exact
 
         # ---- H0 v via the packed-H0 int8 GEMV ----------------------------
-        Vi8 = Vi_d.astype(jnp.int8)  # digits, |d| <= 65
-        PH = lax.dot_general(Vi8, hp_ref[:], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.int32)
-        H0Vi = _combine_diag(PH, MP, sh_ref[:], sv_v)  # (1, MP) DS
+        if "h0v" in A:
+            H0Vi = Vi
+        else:
+            Vi8 = Vi_d.astype(jnp.int8)  # digits, |d| <= 65
+            PH = lax.dot_general(Vi8, hp_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            H0Vi = _combine_diag(PH, MP, sh_ref[:], sv_v)  # (1, MP) DS
 
         # ---- rank-buffer correction: C diag(beta) C^T Vi -----------------
-        ph, pl_ = ds.mul((CTh, CTl), Vi)
-        ctv = ds.sum_along((ph, pl_), 1, keepdims=True, sloppy=True)
-        z = ds.mul((bh, bl), ctv)
-        qh, ql = ds.mul((CTh, CTl), z)
-        size = KR
-        while size > 1:
-            half = size // 2
-            qh, ql = ds.add_sloppy((qh[:half], ql[:half]),
-                                   (qh[half:size], ql[half:size]))
-            size = half
-        HVi = ds.add(ds.mul((alh, all_), H0Vi), (qh, ql))  # (1, MP)
+        if "corr" in A:
+            HVi = ds.mul((alh, all_), H0Vi)
+        else:
+            ph, pl_ = ds.mul((CTh, CTl), Vi)
+            ctv = ds.sum_along((ph, pl_), 1, keepdims=True, sloppy=True)
+            z = ds.mul((bh, bl), ctv)
+            qh, ql = ds.mul((CTh, CTl), z)
+            size = KR
+            while size > 1:
+                half = size // 2
+                qh, ql = ds.add_sloppy((qh[:half], ql[:half]),
+                                       (qh[half:size], ql[half:size]))
+                size = half
+            HVi = ds.add(ds.mul((alh, all_), H0Vi), (qh, ql))  # (1, MP)
 
         # ---- u = (H v)^T V via the packed-V int8 GEMV --------------------
-        mx = jnp.max(jnp.abs(HVi[0]), keepdims=True) + f32(1e-30)
-        sA = jnp.exp2(jnp.ceil(jnp.log2(mx)))
-        A8 = _digit_rows(HVi, 1.0 / sA)  # (LEV, MP) int8
-        PU_parts = []
-        for s0, sw in slabs:
-            PU_parts.append(lax.dot_general(
-                A8, vp_ref[:, s0:s0 + sw], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32))
-        PU = (PU_parts[0] if len(PU_parts) == 1
-              else jnp.concatenate(PU_parts, axis=1))
-        u = _combine_diag(PU, NP, sv_ref[:], sA)
+        if "udot" in A:
+            u = (jnp.zeros((1, NP), f32) + wv[0]
+                 + HVi[0][0:1, 0:1] * f32(1e-30),
+                 jnp.zeros((1, NP), f32))
+        else:
+            mx = jnp.max(jnp.abs(HVi[0]), keepdims=True) + f32(1e-30)
+            sA = jnp.exp2(jnp.ceil(jnp.log2(mx)))
+            A8 = _digit_rows(HVi, 1.0 / sA)  # (LEV, MP) int8
+            PU_parts = []
+            for s0, sw in slabs:
+                PU_parts.append(lax.dot_general(
+                    A8, vp_ref[:, s0:s0 + sw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32))
+            PU = (PU_parts[0] if len(PU_parts) == 1
+                  else jnp.concatenate(PU_parts, axis=1))
+            u = _combine_diag(PU, NP, sv_ref[:], sA)
         # consistency pin u[v] = w[v] (exact line-search property)
         u = ds.where(vmask, wv, u)
 
-        w_new = ds.mul(ds.sub(w, ds.mul(c_, ds.sq(u))), r_tau)
+        if "wupd" in A:
+            w_new = u
+        else:
+            w_new = ds.mul(ds.sub(w, ds.mul(c_, ds.sq(u))), r_tau)
 
         # ---- lazy rank-1: append g, rescale the scalars ------------------
         run = jnp.logical_not(stop) & (done < 0.5) & in_budget
-        rowmask = (subK == k) & run
-        CTh = jnp.where(rowmask, HVi[0], CTh)
-        CTl = jnp.where(rowmask, HVi[1], CTl)
-        b_app = (jnp.where(rowmask, -c_[0], bh),
-                 jnp.where(rowmask, -c_[1], bl))
-        b_new = ds.mul(b_app, r_tau)
-        al_new = ds.mul((alh, all_), r_tau)
+        if "append" in A:
+            b_new = (bh, bl)
+            al_new = (alh, all_)
+        else:
+            rowmask = (subK == k) & run
+            CTh = jnp.where(rowmask, HVi[0], CTh)
+            CTl = jnp.where(rowmask, HVi[1], CTl)
+            b_app = (jnp.where(rowmask, -c_[0], bh),
+                     jnp.where(rowmask, -c_[1], bl))
+            b_new = ds.mul(b_app, r_tau)
+            al_new = ds.mul((alh, all_), r_tau)
 
         xs = ds.mul(x, one_m_tau)
         zero = jnp.zeros_like(sp)

@@ -80,6 +80,9 @@ def main():
     p.add_argument("--skip-numpy", action="store_true")
     p.add_argument("--mixed", action="store_true",
                    help="also run the f64-grade mixed-precision oracle")
+    p.add_argument("--ds", action="store_true",
+                   help="DS-interior oracle (FrobeniusSymLossDS): all"
+                        " combines/tails in two-f32 planes")
     p.add_argument("--levels", type=int, default=7,
                    help="int8 digit planes for the mixed oracle (7 = ~1e-13"
                         " rel; each level is n^2 bytes of per-call stream)")
@@ -130,6 +133,13 @@ def main():
                                   linesearch=False, verbose=False)
         out["mixed_wall_s"] = round(float(T[-1]), 3)
         out["mixed_F_final"] = float(F[-1])
+        if a.ds:
+            fds = acc.FrobeniusSymLossDS.from_data(M, levels=a.levels)
+            for _ in range(2):
+                X, F, Ls, T = acc.BPG(fds, hm, L, X0m, maxitrs=a.maxitrs,
+                                      linesearch=False, verbose=False)
+            out["ds_wall_s"] = round(float(T[-1]), 3)
+            out["ds_F_final"] = float(F[-1])
         if "numpy_wall_s" in out:
             out["mixed_speedup"] = round(
                 out["numpy_wall_s"] / max(out["mixed_wall_s"], 1e-9), 1)

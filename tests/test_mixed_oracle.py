@@ -265,3 +265,34 @@ class TestRegressionDS:
                      verbose=False)
         np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
                                    rtol=1e-9)
+
+
+class TestFrobeniusSymLossDS:
+    """DS-interior SymNMF oracle: combines/tails in two-f32 planes, f64
+    only at the API boundary — must match the Mixed oracle at ~1e-12 and
+    track a BPG trajectory."""
+
+    def test_oracle_and_trajectory(self):
+        rng = np.random.default_rng(5)
+        n, r = 48, 4
+        Y = np.abs(rng.standard_normal((n, r)))
+        M = Y @ Y.T / r
+        fd = acc.FrobeniusSymLossDS.from_data(M)
+        fm = acc.FrobeniusSymLossMixed.from_data(M)
+        X = jnp.asarray(np.random.default_rng(6).random((n, r)))
+        f1, g1 = fd.value_and_grad(X)
+        f2, g2 = fm.value_and_grad(X)
+        assert abs(float(f1) - float(f2)) <= 1e-11 * abs(float(f2))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-10, atol=1e-12)
+        sigma = 2.0 * np.linalg.norm(M, 2)
+        h = acc.SumOf2nd4thPowersPositiveOrthant(
+            alpha=jnp.float64(6.0), sigma=jnp.float64(sigma),
+            upper_bound=None)
+        X0 = jnp.asarray(np.random.default_rng(7).random((n, r)))
+        r1 = acc.BPG(fm, h, 1.0, X0, maxitrs=30, linesearch=False,
+                     verbose=False)
+        r2 = acc.BPG(fd, h, 1.0, X0, maxitrs=30, linesearch=False,
+                     verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-9)
