@@ -508,6 +508,62 @@ def _build_multi_block(m, MP, NP, KR, away, interpret, nblocks):
     return jax.jit(multi)
 
 
+@functools.lru_cache(maxsize=16)
+def _get_multi_executable(m, MP, NP, KR, away, nblocks):
+    """AOT-compiled multi-block executable with the driver's persistent
+    disk cache (algorithms/driver.py): a fresh process deserializes in
+    ~0.1 s instead of paying the 1-10 minute remote Mosaic compile of the
+    scan-of-kernel program.  Falls back to the plain jit on any failure
+    (caller handles None)."""
+    import hashlib
+    import os
+
+    from ..algorithms import driver as drv
+
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return None
+    adir = drv._aot_dir()
+    if not adir:
+        return None
+    f32 = jnp.float32
+    avals = (
+        jax.ShapeDtypeStruct((4,), f32),            # scal_base
+        jax.ShapeDtypeStruct((), f32),              # rem0
+        jax.ShapeDtypeStruct((MP, LEV * NP), jnp.int8),
+        jax.ShapeDtypeStruct((1, NP), f32),         # sV
+        jax.ShapeDtypeStruct((MP, MP), f32),        # H0h
+        jax.ShapeDtypeStruct((MP, MP), f32),        # H0l
+        jax.ShapeDtypeStruct((MP, LEV * MP), jnp.int8),
+        jax.ShapeDtypeStruct((1, MP), f32),         # sH0
+        jax.ShapeDtypeStruct((1, NP), f32),         # xh
+        jax.ShapeDtypeStruct((1, NP), f32),         # xl
+        jax.ShapeDtypeStruct((1, NP), f32),         # wh
+        jax.ShapeDtypeStruct((1, NP), f32),         # wl
+    )
+    try:
+        dev = jax.devices()[0]
+        ident = "|".join(map(str, (
+            jax.__version__, getattr(dev, "device_kind", dev),
+            drv._package_source_digest(), "pallas_lazy_multi",
+            m, MP, NP, KR, away, nblocks, LEV, _MAX_DIAG, _SLAB)))
+        path = os.path.join(
+            adir, hashlib.sha256(ident.encode()).hexdigest() + ".jaxexe")
+    except Exception:
+        return None
+    if os.path.exists(path):
+        try:
+            return drv._aot_load(path)
+        except Exception:
+            pass
+    multi = _build_multi_block(m, MP, NP, KR, away, False, nblocks)
+    try:
+        exe = multi.lower(*avals).compile()
+        drv._aot_save(path, exe)
+        return exe
+    except Exception:
+        return None
+
+
 def dopt_fw_pallas_lazy(V, x0, eps, maxitrs, away=True, verbose=True,
                         verbskip=1, chunk=None, refresh_every=0,
                         interpret=False, checkpoint=None, group=None):
@@ -625,11 +681,15 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
             nb_group = min(nb_group, 32)  # snapshot cadence
     else:
         nb_group = max(1, int(group))
-    multi = _build_multi_block(m, MP, NP, KR, bool(away), bool(interpret),
-                               nb_group)
+    multi = None
+    if not interpret:
+        multi = _get_multi_executable(m, MP, NP, KR, bool(away), nb_group)
+    if multi is None:
+        multi = _build_multi_block(m, MP, NP, KR, bool(away),
+                                   bool(interpret), nb_group)
 
     while k_done < maxitrs and not stopped:
-        carry, hists = multi(scal_base, float(maxitrs - k_done),
+        carry, hists = multi(scal_base, jnp.float32(maxitrs - k_done),
                              V_packed, sV_dev,
                              state["H0"][0], state["H0"][1],
                              state["H0p"], state["sH0"],
