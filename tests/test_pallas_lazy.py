@@ -104,3 +104,26 @@ class TestLazyKernelInterpret:
         np.testing.assert_allclose(np.asarray(SP1, np.float64),
                                    np.asarray(SP2, np.float64),
                                    rtol=0, atol=1e-9)
+
+    def test_refresh_every_matches(self, problem):
+        """The belt-and-braces host refactorization cadence: with
+        refresh_every set, the trajectory still matches the DS engine at
+        the refresh level (fresh factorization resets DS drift)."""
+        V, x0 = problem
+        x1, F1, SP1, *_ = dopt_fw_pallas_lazy(
+            V, x0, 1e-8, 60, verbose=False, interpret=True, group=1,
+            refresh_every=30)
+        x2, F2, SP2, *_ = acc.D_opt_FW_away(
+            V, x0, eps=1e-8, maxitrs=60, verbose=False, u_mode="ds",
+            chunk=60)
+        assert len(F1) == len(F2)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   atol=1e-9)
+
+    def test_verbose_smoke(self, problem, capsys):
+        V, x0 = problem
+        dopt_fw_pallas_lazy(V, x0, 1e-8, 10, verbose=True, verbskip=5,
+                            interpret=True, group=1)
+        outp = capsys.readouterr().out
+        assert "lazy-H fused pallas kernel" in outp
+        assert "     0 " in outp or "     0\t" in outp or " 0  " in outp
