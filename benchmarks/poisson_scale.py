@@ -39,6 +39,8 @@ def main():
     p.add_argument("--skip-numpy", action="store_true")
     p.add_argument("--mixed", action="store_true",
                    help="also run the f64-grade mixed-precision oracle")
+    p.add_argument("--ds", action="store_true",
+                   help="DS-elementwise oracle (PoissonRegressionDS)")
     a = p.parse_args()
 
     import jax.numpy as jnp
@@ -92,6 +94,15 @@ def main():
                                   verbose=False)
         out["mixed_wall_s"] = round(float(T[-1]), 3)
         out["mixed_F_final"] = float(F[-1])
+        if a.ds:
+            del fm  # both oracles' packed planes together exhaust HBM at 2e8 entries
+            fd = acc.PoissonRegressionDS.from_data(A64, b64)
+            for _ in range(2):
+                x, F, Ls, T = acc.BPG(fd, hm, L, jnp.asarray(x064),
+                                      maxitrs=a.maxitrs, linesearch=False,
+                                      verbose=False)
+            out["ds_wall_s"] = round(float(T[-1]), 3)
+            out["ds_F_final"] = float(F[-1])
         if "numpy_wall_s" in out:
             out["mixed_speedup"] = round(
                 out["numpy_wall_s"] / max(out["mixed_wall_s"], 1e-9), 1)
