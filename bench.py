@@ -6,16 +6,18 @@ this machine converges to complementary slackness 1e-8 in 20741 iterations /
 322.2 s, and its optimum F* was certified by a fresh float64 slogdet of the
 trajectory-identical run's final iterate.
 
-This bench runs OUR solver (double-single engine: the whole state in
-two-float32 planes, ~49-bit significand, pure f32 ops on the MXU/VPU —
-u_mode="ds", single TPU chip, the whole iteration compiled as scan chunks)
-for the SAME iteration budget and the same uniform init, then certifies the
-final iterate's objective gap against F* with a fresh float64 slogdet on
-host.  Wall time excludes compilation (the reference's numbers exclude
-numpy import/BLAS warmup too); iteration count is fixed so the comparison
-is pure per-iteration throughput of the same algorithm at verified-equal
-solution quality.  (Round-1 ran the mixed f64+int8-Ozaki path at 27x with
-gap 8.0e-7; the round-2 DS engine measures ~57x with gap ~5e-12.)
+This bench runs OUR solver (round-4 lazy-H fused Pallas kernel, what
+u_mode="auto" resolves to at this scale: double-single state, the whole
+iteration inside one kernel with VMEM-resident packed int8 design planes
+and deferred rank-1 H updates — ops/pallas_dopt_lazy.py) for the SAME
+iteration budget and the same uniform init, then certifies the final
+iterate's objective gap against F* with a fresh float64 slogdet on host.
+Wall time excludes compilation (the reference's numbers exclude numpy
+import/BLAS warmup too); iteration count is fixed so the comparison is
+pure per-iteration throughput of the same algorithm at verified-equal
+solution quality.  (Round-1: mixed f64+int8-Ozaki, 27x, gap 8.0e-7;
+round-2: DS scan, ~72x, gap ~5e-12; round-3: packed-u DS scan, 107.9x;
+round-4: lazy-H kernel, 259.7x best-of-3, gap -5.4e-12.)
 
 Output: one JSON line {metric, value, unit, vs_baseline, ...}.
 """
