@@ -174,3 +174,38 @@ def test_dopt_ds_f_history_full_resolution(monkeypatch):
     # stopping step; after convergence stalls the iterate is frozen, so
     # they agree to DS resolution
     assert abs(float(F[-1]) - (-ld)) < 5e-7 * max(1.0, abs(ld))
+
+
+def test_ozaki_mm_ds_rectangular():
+    """Regression: ozaki_mm_ds reshaped the left operand's digit planes
+    with its ROW count as the contraction dim — wrong for rectangular M
+    (found wiring FrobeniusSymLossDS's X @ XtX with X (n, r))."""
+    from accbpg_and_fw_tpu.ops import double_single as dsl
+    from accbpg_and_fw_tpu.ops import mixed_precision as mp
+
+    rng = np.random.default_rng(8)
+    M = rng.standard_normal((24, 6))
+    B = rng.standard_normal((6, 10))
+    Mh, Ml = dsl.from_f64(jnp.asarray(M))
+    dB, sB = mp.digit_split_matrix(jnp.asarray(B), 7)
+    Ph, Pl = mp.ozaki_mm_ds(Mh, Ml, mp.pack_digit_planes(dB), sB,
+                            levels_b=7, levels_m=7)
+    ref = M @ B
+    got = np.asarray(Ph, np.float64) + np.asarray(Pl, np.float64)
+    np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11)
+
+
+def test_ozaki_mm_presplit_ds_matches_f64():
+    from accbpg_and_fw_tpu.ops import mixed_precision as mp
+
+    rng = np.random.default_rng(9)
+    M = rng.standard_normal((20, 16))
+    B = rng.standard_normal((16, 12))
+    dM, sM = mp.digit_split_rows(jnp.asarray(M), 7)
+    dB, sB = mp.digit_split_matrix(jnp.asarray(B), 7)
+    Ph, Pl = mp.ozaki_mm_presplit_ds(
+        dM.reshape(7 * M.shape[0], M.shape[1]), sM,
+        mp.pack_digit_planes(dB), sB, 7, 7)
+    ref = M @ B
+    got = np.asarray(Ph, np.float64) + np.asarray(Pl, np.float64)
+    np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-11)
