@@ -325,6 +325,7 @@ def UniversalGM(f, h, L, x0, maxitrs, epsilon=1e-14, verbose=True,
 class _PDCfg(NamedTuple):
     linesearch: bool
     dual_max_inner: int
+    exact_dual_grad: bool = False
 
 
 def _pd_step(cfg, prob, c, k):
@@ -345,6 +346,11 @@ def _pd_step(cfg, prob, c, k):
         scalar_cnstrnt = jnp.ndim(g_fun.value(y0)) == 0
 
         def ascent_dir(y):
+            if cfg.exact_dual_grad and not scalar_cnstrnt:
+                # opt-in mathematically-correct direction: the true
+                # gradient of z * sum(g) via autodiff (ADVICE r4)
+                g_sum_grad = jax.grad(lambda yy: jnp.sum(g_fun.value(yy)))(y)
+                return -f.grad(y) - z * g_sum_grad
             gg = g_fun.grad(y)
             if scalar_cnstrnt:
                 return -f.grad(y) - z * gg
@@ -425,7 +431,7 @@ def PrimalDualSwitchingGradientMethod(f, h, L_init, cnstrnt_fun, x0, maxitrs,
                                       verbose=True, verbskip=100, chunk=None,
                                       dual_max_inner=100, dual_tol=1e-9,
                                       dual_lr=1e-3, gap_tol=1e-6,
-                                      checkpoint=None):
+                                      checkpoint=None, exact_dual_grad=False):
     """Constrained min f(x) s.t. cnstrnt_fun(x) <= epsilon via switching
     between productive (objective) and unproductive (constraint-gradient)
     steps, with a Lagrange-multiplier estimate and a duality gap from an
@@ -441,10 +447,13 @@ def PrimalDualSwitchingGradientMethod(f, h, L_init, cnstrnt_fun, x0, maxitrs,
     constant A) that term is ``len(g(x)) * z * A`` rather than the true
     gradient of ``z * sum(g)``; golden-trajectory parity against the
     unmodified reference driver is asserted in
-    tests/test_reference_parity.py (TestPrimalDualGolden).  The only
-    remaining semantic difference: the reference raises on NaN/Inf inside
-    the ascent, which a jitted loop cannot — NaN iterates instead propagate
-    to the gap history.
+    tests/test_reference_parity.py (TestPrimalDualGolden).  Pass
+    ``exact_dual_grad=True`` to instead use the mathematically correct
+    ascent direction (autodiff gradient of ``z * sum(g)``) for vector
+    constraints — golden parity with the reference is then forfeited.
+    The only remaining semantic difference: the reference raises on
+    NaN/Inf inside the ascent, which a jitted loop cannot — NaN iterates
+    instead propagate to the gap history.
     """
     x0 = jnp.asarray(x0)
     dt = x0.dtype
@@ -463,7 +472,8 @@ def PrimalDualSwitchingGradientMethod(f, h, L_init, cnstrnt_fun, x0, maxitrs,
         print(f"{k:6d}  {r['F']:.3e}  {r['Ls']:.3e}  {r['gap']:.3e}  {t:.2f}s")
 
     cfg = _PDCfg(linesearch=bool(linesearch),
-                 dual_max_inner=int(dual_max_inner))
+                 dual_max_inner=int(dual_max_inner),
+                 exact_dual_grad=bool(exact_dual_grad))
     carry, hist, T = run_driver(_pd_step, carry, maxitrs, verbose=verbose,
                                 verbskip=verbskip, header=header,
                                 print_row=row, chunk=chunk,

@@ -101,7 +101,11 @@ class DOptimalObj(SmoothOracle):
         return cho_solve((R, True), jnp.eye(self.m, dtype=G.dtype))
 
     def grad_from_inv(self, M):
-        return -jnp.sum(self.H * (M @ self.H), axis=0)
+        # Pad masking matters here too: ABDA with fast_gram=True on a
+        # mesh-padded problem feeds this gradient into prox_map on
+        # accumulated duals; without the +1e30 mask padded coordinates
+        # would re-acquire mass (ADVICE r4 medium).
+        return self._mask_pads(-jnp.sum(self.H * (M @ self.H), axis=0))
 
 
 @pytree_dataclass

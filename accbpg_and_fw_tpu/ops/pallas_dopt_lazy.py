@@ -134,7 +134,8 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
                       scal_ref, vp_ref, sv_ref, hp_ref, sh_ref,
                       xh_ref, xl_ref, wh_ref, wl_ref,
                       xh_o, xl_o, wh_o, wl_o, CTh_o, CTl_o, bh_o, bl_o,
-                      misc_o, TAU_ref, TWV_ref, SP_ref, SN_ref):
+                      misc_o, TAU_ref, TAUl_ref, TWV_ref, TWVl_ref,
+                      SP_ref, SN_ref):
     f32 = jnp.float32
     m_f = f32(m)
     eps = scal_ref[0]
@@ -158,7 +159,7 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
 
     def body(state):
         (k, done, xh, xl, wh, wl, CTh, CTl, bh, bl, alh, all_,
-         TAUb, TWVb, SPb, SNb) = state
+         TAUb, TAUlb, TWVb, TWVlb, SPb, SNb) = state
         x = (xh, xl)
         w = (wh, wl)
 
@@ -321,15 +322,18 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
         stepped = ds.where(drop, (zero, zero), ds.add(xs, tau))
         x_new = ds.where(vmask, stepped, xs)
 
-        tau_f = tau[0] + tau[1]
+        # tau and twv recorded as DS PAIRS: the host reconstructs logdet
+        # increments in f64 from hi+lo, matching the DS scan's F history
+        # to ~1e-12 instead of the old f32-rounded ~1e-4 (VERDICT r4 #9)
         twv = ds.mul(tau, wv_m1)
-        twv_f = twv[0] + twv[1]
 
         krow = (laneK == k) & in_budget
         SPb = jnp.where(krow, sp, SPb)
         SNb = jnp.where(krow, sn, SNb)
-        TAUb = jnp.where(krow & run, tau_f, TAUb)
-        TWVb = jnp.where(krow & run, twv_f, TWVb)
+        TAUb = jnp.where(krow & run, tau[0], TAUb)
+        TAUlb = jnp.where(krow & run, tau[1], TAUlb)
+        TWVb = jnp.where(krow & run, twv[0], TWVb)
+        TWVlb = jnp.where(krow & run, twv[1], TWVlb)
 
         def sel(new, old):
             return jnp.where(run, new, old)
@@ -341,7 +345,7 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
                 CTh, CTl,
                 sel(b_new[0], bh), sel(b_new[1], bl),
                 sel(al_new[0], alh), sel(al_new[1], all_),
-                TAUb, TWVb, SPb, SNb)
+                TAUb, TAUlb, TWVb, TWVlb, SPb, SNb)
 
     def outer_body(ostate):
         k0, done_s = ostate[0], ostate[1]
@@ -360,10 +364,11 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
             jnp.zeros((KR, MP), f32), jnp.zeros((KR, MP), f32),
             jnp.zeros((KR, 1), f32), jnp.zeros((KR, 1), f32),
             jnp.ones((1, 1), f32), jnp.zeros((1, 1), f32),
-            zero_hist, zero_hist, zero_hist, zero_hist)
+            zero_hist, zero_hist, zero_hist, zero_hist, zero_hist,
+            zero_hist)
     out = lax.while_loop(outer_cond, outer_body, init)
     (k, done_s, xh, xl, wh, wl, CTh, CTl, bh, bl, alh, all_,
-     TAUb, TWVb, SPb, SNb) = out
+     TAUb, TAUlb, TWVb, TWVlb, SPb, SNb) = out
 
     xh_o[:] = xh
     xl_o[:] = xl
@@ -378,7 +383,9 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
     misc_o[2] = alh[0, 0]
     misc_o[3] = all_[0, 0]
     TAU_ref[:] = TAUb
+    TAUl_ref[:] = TAUlb
     TWV_ref[:] = TWVb
+    TWVl_ref[:] = TWVlb
     SP_ref[:] = SPb
     SN_ref[:] = SNb
 
@@ -403,8 +410,10 @@ def _build_lazy_chunk_fn(m, MP, NP, KR, away, interpret):
             jax.ShapeDtypeStruct((KR, 1), f32),    # beta hi
             jax.ShapeDtypeStruct((KR, 1), f32),    # beta lo
             jax.ShapeDtypeStruct((4,), f32),       # misc: done, niter, alpha
-            jax.ShapeDtypeStruct((1, KR), f32),    # TAU
-            jax.ShapeDtypeStruct((1, KR), f32),    # TWV
+            jax.ShapeDtypeStruct((1, KR), f32),    # TAU hi
+            jax.ShapeDtypeStruct((1, KR), f32),    # TAU lo
+            jax.ShapeDtypeStruct((1, KR), f32),    # TWV hi
+            jax.ShapeDtypeStruct((1, KR), f32),    # TWV lo
             jax.ShapeDtypeStruct((1, KR), f32),    # SP
             jax.ShapeDtypeStruct((1, KR), f32),    # SN
         ),
@@ -421,7 +430,7 @@ def _build_lazy_chunk_fn(m, MP, NP, KR, away, interpret):
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 8
         + (pl.BlockSpec(memory_space=pltpu.SMEM),)
-        + (pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
+        + (pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=bool(interpret),
@@ -491,14 +500,14 @@ def _build_multi_block(m, MP, NP, KR, away, interpret, nblocks):
             kmax = jnp.minimum(jnp.float32(KR), rem)
             scal = scal_base.at[2].set(kmax).at[3].set(done)
             (xh2, xl2, wh2, wl2, CTh, CTl, bh, bl, misc,
-             TAU, TWV, SP, SN) = call(scal, V_packed, sV, H0p, sH0,
-                                      xh, xl, wh, wl)
+             TAU, TAUl, TWV, TWVl, SP, SN) = call(scal, V_packed, sV,
+                                                  H0p, sH0, xh, xl, wh, wl)
             H0h2, H0l2, H0p2, sH02 = _lazy_refresh(H0h, H0l, CTh, CTl,
                                                    bh, bl, misc[2:4])
             done2 = jnp.maximum(done, misc[0])
             rem2 = jnp.maximum(rem - misc[1], 0.0)
             return ((xh2, xl2, wh2, wl2, H0h2, H0l2, H0p2, sH02, done2,
-                     rem2), (misc, TAU, TWV, SP, SN))
+                     rem2), (misc, TAU, TAUl, TWV, TWVl, SP, SN))
 
         init = (xh, xl, wh, wl, H0h, H0l, H0p, sH0, jnp.float32(0.0),
                 jnp.float32(rem0))
@@ -600,7 +609,10 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
 
     ``refresh_every``: additional full host-f64 refactorization cadence
     (belt-and-braces against DS drift; the per-launch H0 folds alone hold
-    ~1e-12).  ``checkpoint``: .npz snapshot at group boundaries; resume
+    ~1e-12).  NOTE: the kernel runs in launch blocks of ``_KR`` (=256)
+    iterations, so the effective cadence is rounded UP to the next block
+    boundary — ``refresh_every=100`` refactorizes every ~256 iterations,
+    not every 100.  ``checkpoint``: .npz snapshot at group boundaries; resume
     re-factorizes from the saved iterate (see dopt_fw_pallas)."""
     V64 = np.asarray(V, np.float64)
     m, n = V64.shape
@@ -675,8 +687,9 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
         nb_group = min(nb_group, 256)
         if refresh_every:
             # host refactorization cadence needs a sync at that boundary
+            # (ceil: refresh_every < KR still syncs every block)
             nb_group = min(nb_group,
-                           _next_pow2(max(1, refresh_every // KR)))
+                           _next_pow2(max(1, -(-refresh_every // KR))))
         if checkpoint is not None:
             nb_group = min(nb_group, 32)  # snapshot cadence
     else:
@@ -702,8 +715,8 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
         state["H0"] = (H0h, H0l)
         state["H0p"] = H0p
         state["sH0"] = sH0
-        (miscs, TAUs, TWVs, SPs, SNs, xh_h, xl_h) = jax.device_get(
-            hists + (xh_d, xl_d))
+        (miscs, TAUs, TAUls, TWVs, TWVls, SPs, SNs, xh_h,
+         xl_h) = jax.device_get(hists + (xh_d, xl_d))
         t_b = time.time() - t0
         t_a = T_parts[-1][-1] if T_parts and len(T_parts[-1]) else 0.0
         rows_before = k_done
@@ -720,8 +733,10 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
                 if misc[0] > 0.5:
                     stopped = True
                 break
-            tau_rows = TAUs[b, 0, :nv].astype(np.float64)
-            twv_rows = TWVs[b, 0, :nv].astype(np.float64)
+            tau_rows = (TAUs[b, 0, :nv].astype(np.float64)
+                        + TAUls[b, 0, :nv].astype(np.float64))
+            twv_rows = (TWVs[b, 0, :nv].astype(np.float64)
+                        + TWVls[b, 0, :nv].astype(np.float64))
             incs = (m - 1.0) * np.log1p(-tau_rows) + np.log1p(twv_rows)
             ld_rows = state["ld"] + np.concatenate(
                 [[0.0], np.cumsum(incs)[:-1]])
@@ -776,3 +791,317 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
     Tfull = np.zeros(ncut)
     Tfull[:min(ncut, len(T))] = T[:ncut]
     return x_out, F[:ncut], SP[:ncut], SN[:ncut], Tfull
+
+
+# ---------------------------------------------------------------------------
+# Batched (K-instance) lazy engine — the sweep-study regime
+# ---------------------------------------------------------------------------
+# The reference's iteration-complexity sweeps (ipynb/ABPGvsFW/
+# ex_Dopt_FW_n1000.ipynb:cell3 etc.) solve K independent instances of the
+# SAME (m, n).  Sequential lazy solves pay one kernel dispatch + device_get
+# per instance per group; here the instance axis becomes a pallas GRID
+# dimension: one dispatch runs every instance's launch block (grid steps
+# execute sequentially on the single TensorCore — the win is amortized
+# dispatch/compile and batched XLA refresh folds, not MXU sharing, since
+# each instance owns a distinct design matrix).  The kernel BODY is the
+# unmodified `_lazy_kernel_body`; BlockSpecs with a None leading dim hand
+# each grid step its own instance's blocks.
+
+
+@functools.lru_cache(maxsize=8)
+def _build_lazy_chunk_fn_batch(K, m, MP, NP, KR, away, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_lazy_kernel_body, m, MP, NP, KR, away,
+                               interpret)
+    f32 = jnp.float32
+
+    def vspec(*shape):
+        nzero = len(shape)
+        return pl.BlockSpec((None,) + shape,
+                            lambda k, _n=nzero: (k,) + (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def sspec(width):
+        return pl.BlockSpec((None, width), lambda k: (k, 0),
+                            memory_space=pltpu.SMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, 1, NP), f32),    # xh
+            jax.ShapeDtypeStruct((K, 1, NP), f32),    # xl
+            jax.ShapeDtypeStruct((K, 1, NP), f32),    # wh
+            jax.ShapeDtypeStruct((K, 1, NP), f32),    # wl
+            jax.ShapeDtypeStruct((K, KR, MP), f32),   # CTh (g rows)
+            jax.ShapeDtypeStruct((K, KR, MP), f32),   # CTl
+            jax.ShapeDtypeStruct((K, KR, 1), f32),    # beta hi
+            jax.ShapeDtypeStruct((K, KR, 1), f32),    # beta lo
+            jax.ShapeDtypeStruct((K, 4), f32),        # misc
+            jax.ShapeDtypeStruct((K, 1, KR), f32),    # TAU hi
+            jax.ShapeDtypeStruct((K, 1, KR), f32),    # TAU lo
+            jax.ShapeDtypeStruct((K, 1, KR), f32),    # TWV hi
+            jax.ShapeDtypeStruct((K, 1, KR), f32),    # TWV lo
+            jax.ShapeDtypeStruct((K, 1, KR), f32),    # SP
+            jax.ShapeDtypeStruct((K, 1, KR), f32),    # SN
+        ),
+        in_specs=[
+            sspec(4),                 # scal (K, 4)
+            vspec(MP, LEV * NP),      # V packed digits (K, MP, LEV*NP)
+            vspec(1, NP),             # sV
+            vspec(MP, LEV * MP),      # H0 packed digits
+            vspec(1, MP),             # sH0
+            vspec(1, NP),             # xh
+            vspec(1, NP),             # xl
+            vspec(1, NP),             # wh
+            vspec(1, NP),             # wl
+        ],
+        out_specs=(vspec(1, NP),) * 4 + (vspec(KR, MP),) * 2
+        + (vspec(KR, 1),) * 2 + (sspec(4),) + (vspec(1, KR),) * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+    return jax.jit(call)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_multi_block_batch(K, m, MP, NP, KR, away, interpret, nblocks):
+    """Batched analog of ``_build_multi_block``: one jitted dispatch runs
+    ``nblocks`` (grid-over-instances kernel -> vmapped H0 refresh) rounds.
+    Per-instance budgets/done flags thread through the carry as (K,)
+    vectors; instances that converge freeze (kmax=0 grid steps exit the
+    kernel's while_loop immediately)."""
+    import sys
+
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    call = _build_lazy_chunk_fn_batch(K, m, MP, NP, KR, away, interpret)
+    refresh_b = jax.vmap(functools.partial(_lazy_refresh, lev=LEV))
+
+    def multi(scal_base, rem0, V_packed, sV, H0h, H0l, H0p, sH0,
+              xh, xl, wh, wl):
+        def blk(carry, _):
+            (xh, xl, wh, wl, H0h, H0l, H0p, sH0, done, rem) = carry
+            kmax = jnp.minimum(jnp.float32(KR), rem)           # (K,)
+            scal = scal_base.at[:, 2].set(kmax).at[:, 3].set(done)
+            (xh2, xl2, wh2, wl2, CTh, CTl, bh, bl, misc,
+             TAU, TAUl, TWV, TWVl, SP, SN) = call(
+                scal, V_packed, sV, H0p, sH0, xh, xl, wh, wl)
+            H0h2, H0l2, H0p2, sH02 = refresh_b(H0h, H0l, CTh, CTl,
+                                               bh, bl, misc[:, 2:4])
+            done2 = jnp.maximum(done, misc[:, 0])
+            rem2 = jnp.maximum(rem - misc[:, 1], 0.0)
+            return ((xh2, xl2, wh2, wl2, H0h2, H0l2, H0p2, sH02, done2,
+                     rem2), (misc, TAU, TAUl, TWV, TWVl, SP, SN))
+
+        init = (xh, xl, wh, wl, H0h, H0l, H0p, sH0,
+                jnp.zeros((K,), jnp.float32), rem0)
+        carry, hists = lax.scan(blk, init, None, length=nblocks)
+        return carry, hists
+
+    return jax.jit(multi)
+
+
+@functools.lru_cache(maxsize=8)
+def _get_multi_executable_batch(K, m, MP, NP, KR, away, nblocks):
+    """AOT-compiled batched multi-block executable with the persistent
+    disk cache (same machinery as ``_get_multi_executable``)."""
+    import hashlib
+    import os
+
+    from ..algorithms import driver as drv
+
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return None
+    adir = drv._aot_dir()
+    if not adir:
+        return None
+    f32 = jnp.float32
+    avals = (
+        jax.ShapeDtypeStruct((K, 4), f32),          # scal_base
+        jax.ShapeDtypeStruct((K,), f32),            # rem0
+        jax.ShapeDtypeStruct((K, MP, LEV * NP), jnp.int8),
+        jax.ShapeDtypeStruct((K, 1, NP), f32),      # sV
+        jax.ShapeDtypeStruct((K, MP, MP), f32),     # H0h
+        jax.ShapeDtypeStruct((K, MP, MP), f32),     # H0l
+        jax.ShapeDtypeStruct((K, MP, LEV * MP), jnp.int8),
+        jax.ShapeDtypeStruct((K, 1, MP), f32),      # sH0
+        jax.ShapeDtypeStruct((K, 1, NP), f32),      # xh
+        jax.ShapeDtypeStruct((K, 1, NP), f32),      # xl
+        jax.ShapeDtypeStruct((K, 1, NP), f32),      # wh
+        jax.ShapeDtypeStruct((K, 1, NP), f32),      # wl
+    )
+    try:
+        dev = jax.devices()[0]
+        ident = "|".join(map(str, (
+            jax.__version__, getattr(dev, "device_kind", dev),
+            drv._package_source_digest(), "pallas_lazy_multi_batch",
+            K, m, MP, NP, KR, away, nblocks, LEV, _MAX_DIAG, _SLAB)))
+        path = os.path.join(
+            adir, hashlib.sha256(ident.encode()).hexdigest() + ".jaxexe")
+    except Exception:
+        return None
+    if os.path.exists(path):
+        try:
+            return drv._aot_load(path)
+        except Exception:
+            pass
+    multi = _build_multi_block_batch(K, m, MP, NP, KR, away, False, nblocks)
+    try:
+        exe = multi.lower(*avals).compile()
+        drv._aot_save(path, exe)
+        return exe
+    except Exception:
+        return None
+
+
+def dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters, away=True,
+                              interpret=False, group=None, verbose=False):
+    """Solve K same-shape D-opt instances on the lazy-H fused kernel.
+
+    Vs: (K, m, n) stacked designs; x0s: (K, n).  Returns ``(x, F, SP, SN)``
+    with leading batch axis (the ``dopt_fw_batch`` contract): dense
+    (K, T) histories where T <= num_iters; instances that converge before
+    row T hold their converged values in the trailing rows (frozen), and
+    T is the largest per-instance stopping row (or the budget).
+
+    Same numerical contract as ``dopt_fw_pallas_lazy`` per instance:
+    double-single state, packed int8 MXU contractions, per-block H0 folds;
+    certify final quality by a fresh f64 factorization (the fresh-slack
+    bars in tests), never by incremental histories.
+
+    ``group``: launch blocks (of _KR=256 iterations) per dispatch; default
+    covers min(budget, 32 blocks) per dispatch and re-dispatches until all
+    instances converge or the budget is spent."""
+    import contextlib
+
+    on_tpu = jax.default_backend() == "tpu" and not interpret
+    ctx = jax.enable_x64(False) if on_tpu else contextlib.nullcontext()
+    with ctx:
+        return _dopt_fw_pallas_lazy_batch_impl(
+            Vs, x0s, eps, num_iters, away=away, interpret=interpret,
+            group=group, verbose=verbose)
+
+
+def _dopt_fw_pallas_lazy_batch_impl(Vs, x0s, eps, num_iters, away=True,
+                                    interpret=False, group=None,
+                                    verbose=False):
+    Vs64 = np.asarray(Vs, np.float64)
+    K, m, n = Vs64.shape
+    x0s64 = np.asarray(x0s, np.float64)
+    KR = _KR
+    MP = _next_pow2(max(m, 8))
+    NP = -(-n // _LANE) * _LANE
+    eps32 = np.float32(eps)
+
+    # per-instance packing (device-side, vmapped over the batch axis)
+    Vp_s = np.stack([_pad2(Vs64[k], (MP, NP)) for k in range(K)])
+    Vh_s, Vl_s = (jnp.asarray(a) for a in _split64(Vp_s))
+    V_packed, sV_dev = jax.vmap(functools.partial(_pack_v, lev=LEV))(
+        Vh_s, Vl_s)
+
+    # host f64 factorization per instance
+    H_l, w_l, ld_l = [], [], []
+    for k in range(K):
+        H, w, logdet = _factorize_np(Vs64[k], x0s64[k])
+        H_l.append(_pad2(H, (MP, MP)))
+        w_l.append(_pad2(w[None, :], (1, NP)))
+        ld_l.append(logdet)
+    H0h, H0l = (jnp.asarray(a) for a in _split64(np.stack(H_l)))
+    H0p, sH0 = jax.vmap(functools.partial(_pack_h0, lev=LEV))(H0h, H0l)
+    wh, wl = (jnp.asarray(a) for a in _split64(np.stack(w_l)))
+    x_pad = np.stack([_pad2(x0s64[k][None, :], (1, NP)) for k in range(K)])
+    xh, xl = (jnp.asarray(a) for a in _split64(x_pad))
+    ld = np.asarray(ld_l, np.float64)
+
+    scal_base = np.zeros((K, 4), np.float32)
+    scal_base[:, 0] = eps32
+    scal_base[:, 1] = np.float32(1.0e-8)
+    scal_base = jnp.asarray(scal_base)
+
+    if group is None:
+        nb_group = min(_next_pow2(max(1, -(-num_iters // KR))), 32)
+    else:
+        nb_group = max(1, int(group))
+    multi = None
+    if not interpret:
+        multi = _get_multi_executable_batch(K, m, MP, NP, KR, bool(away),
+                                            nb_group)
+    if multi is None:
+        multi = _build_multi_block_batch(K, m, MP, NP, KR, bool(away),
+                                         bool(interpret), nb_group)
+
+    F_rows = [[] for _ in range(K)]
+    SP_rows = [[] for _ in range(K)]
+    SN_rows = [[] for _ in range(K)]
+    stopped = np.zeros(K, bool)
+    emitted = np.zeros(K, np.int64)
+    state = (H0h, H0l, H0p, sH0, xh, xl, wh, wl)  # multi's arg order
+    while (~stopped).any() and (emitted[~stopped] < num_iters).any():
+        rem0 = jnp.asarray(
+            np.maximum(num_iters - emitted, 0.0).astype(np.float32))
+        carry, hists = multi(scal_base, rem0, V_packed, sV_dev, *state)
+        (xh2, xl2, wh2, wl2, H0h2, H0l2, H0p2, sH02, done_d,
+         rem_d) = carry
+        state = (H0h2, H0l2, H0p2, sH02, xh2, xl2, wh2, wl2)
+        (miscs, TAUs, TAUls, TWVs, TWVls, SPs, SNs) = jax.device_get(hists)
+        # hists leading axes: (nblocks, K, ...)
+        for b in range(nb_group):
+            for k in range(K):
+                if stopped[k]:
+                    continue
+                misc = miscs[b, k]
+                launched = int(misc[1])
+                nv = min(launched, int(num_iters - emitted[k]))
+                if launched and misc[0] > 0.5:
+                    hit = np.flatnonzero(
+                        (SPs[b, k, 0, :launched] <= eps32)
+                        & (SNs[b, k, 0, :launched] <= eps32))
+                    if hit.size:
+                        nv = min(nv, int(hit[0]) + 1)
+                if nv > 0:
+                    tau_rows = (TAUs[b, k, 0, :nv].astype(np.float64)
+                                + TAUls[b, k, 0, :nv].astype(np.float64))
+                    twv_rows = (TWVs[b, k, 0, :nv].astype(np.float64)
+                                + TWVls[b, k, 0, :nv].astype(np.float64))
+                    incs = ((m - 1.0) * np.log1p(-tau_rows)
+                            + np.log1p(twv_rows))
+                    ld_rows = ld[k] + np.concatenate(
+                        [[0.0], np.cumsum(incs)[:-1]])
+                    ld[k] += float(np.sum(incs))
+                    F_rows[k].append(-ld_rows)
+                    SP_rows[k].append(SPs[b, k, 0, :nv])
+                    SN_rows[k].append(SNs[b, k, 0, :nv])
+                    emitted[k] += nv
+                if misc[0] > 0.5 or emitted[k] >= num_iters:
+                    stopped[k] = True
+        if verbose:
+            print(f"# lazy batch: emitted={emitted.tolist()} "
+                  f"stopped={int(stopped.sum())}/{K}")
+
+    xh_h, xl_h = jax.device_get((state[4], state[5]))
+    x = (xh_h[:, 0, :n].astype(np.float64)
+         + xl_h[:, 0, :n].astype(np.float64))
+    T = int(emitted.max()) if emitted.size else 0
+    F = np.zeros((K, T))
+    SP = np.zeros((K, T))
+    SN = np.zeros((K, T))
+    for k in range(K):
+        Fk = (np.concatenate(F_rows[k]) if F_rows[k]
+              else np.zeros(0))
+        SPk = (np.concatenate(SP_rows[k]).astype(np.float64)
+               if SP_rows[k] else np.zeros(0))
+        SNk = (np.concatenate(SN_rows[k]).astype(np.float64)
+               if SN_rows[k] else np.zeros(0))
+        nk = len(Fk)
+        F[k, :nk] = Fk
+        SP[k, :nk] = SPk
+        SN[k, :nk] = SNk
+        if nk and nk < T:  # frozen: repeat converged values
+            F[k, nk:] = Fk[-1]
+            SP[k, nk:] = SPk[-1]
+            SN[k, nk:] = SNk[-1]
+    return x, F, SP, SN

@@ -242,6 +242,28 @@ def dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     return x, F, SP, SN
 
 
+def _resolve_auto_batch_precision(Vs):
+    """Route ``precision="auto"`` for sweep batches (round 5, mirroring
+    ``d_opt._resolve_auto_u_mode``): the grid-batched lazy-H kernel for
+    LARGE-m instances on a TPU backend (its per-iteration cost is flat in
+    m while the DS scan's O(m^2) rank-1 update grows), the vmapped DS
+    scan otherwise (small m amortizes across the batch on the MXU; the
+    lazy kernel's fixed ~20-primitive body dominates there).  The m
+    threshold and VMEM bound follow the on-chip A/B in BASELINE.md
+    (round 5)."""
+    shape = getattr(Vs, "shape", None)
+    if (jax.default_backend() == "tpu" and shape is not None
+            and len(shape) == 3):
+        _, m, n = shape
+        MP = max(8, 1 << (max(m, 8) - 1).bit_length())
+        NP = -(-n // 128) * 128
+        # double-buffered per-instance blocks must fit the compiler grant
+        vmem_bytes = 2 * (8 * MP * NP + 8 * MP * MP)
+        if m >= 256 and vmem_bytes <= 70 * 1024 * 1024:
+            return "pallas_lazy"
+    return "ds"
+
+
 def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
                   precision="native"):
     """Solve a batch of D-optimal design instances in one computation.
@@ -258,6 +280,11 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
     needs no refresh: measured m=30 f64-on-TPU batches converge to 1e-8
     with iteration counts matching the reference numpy).  O(m^2 n) per
     refresh, amortized over R iterations.
+
+    ``precision="auto"`` routes by instance size: the grid-batched lazy-H
+    Pallas kernel ("pallas_lazy") for large-m f64-grade sweeps on TPU,
+    the vmapped double-single scan ("ds") otherwise — see
+    ``_resolve_auto_batch_precision``.
 
     Precision guidance (measured, one v5e chip, K=32 instances of 30x1000):
     "ds" (double-single, f64-grade from pure f32) certifies 1e-8 in 0.94 s
@@ -289,12 +316,26 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
         return dopt_fw_pallas_batch(Vs, x0s, eps, num_iters, away=away,
                                     refresh_every=refresh_every,
                                     interpret=interpret)
+    if precision == "auto":
+        precision = _resolve_auto_batch_precision(Vs)
+    if precision == "pallas_lazy":
+        # grid-over-instances lazy-H engine: the sweep-regime route for
+        # LARGE m (each instance's whole launch block runs inside one
+        # fused kernel; per-block H0 folds batch over K in XLA).  For
+        # tiny m prefer "ds"/"pallas" — the lazy kernel's fixed per-
+        # iteration op count dominates below m ~ a few hundred.
+        from ..ops.pallas_dopt_lazy import dopt_fw_pallas_lazy_batch
+
+        interpret = jax.default_backend() != "tpu"
+        return dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters,
+                                         away=away, interpret=interpret)
     if precision == "ds":
         return dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=away,
                                 refresh_every=refresh_every)
     if precision not in ("native", "mixed"):
         raise ValueError(f"unknown precision {precision!r}; expected "
-                         "'native', 'mixed', 'ds' or 'pallas'")
+                         "'native', 'mixed', 'ds', 'pallas' or "
+                         "'pallas_lazy'")
     Vs_in = Vs
     Vs = jnp.asarray(Vs)
     _warn_if_downcast(Vs_in, Vs)

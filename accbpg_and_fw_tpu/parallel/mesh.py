@@ -96,6 +96,17 @@ def shard_dopt_problem(f, x0, mesh: Mesh, axis_name: str = "data",
     vec_sharding = NamedSharding(mesh, P(axis_name))
     H = jax.device_put(H, col_sharding)
     x0 = jax.device_put(x0, vec_sharding)
+    if n_valid is None:
+        # No padding occurred: don't require an n_valid field on the
+        # oracle (DOptimalObjMixed/DOptimalObjDS carry H but not
+        # n_valid; they remain shardable when n divides the mesh).
+        return replace(f, H=H), x0
+    if not hasattr(f, "n_valid"):
+        raise ValueError(
+            f"{type(f).__name__} has no n_valid field, so it cannot be "
+            f"padded from n={n} to {H.shape[1]} safely (ABDA-style prox "
+            "on duals would hand padded coordinates mass). Pass pad=False "
+            "with a mesh-divisible n, or use DOptimalObj.")
     return replace(f, H=H, n_valid=n_valid), x0
 
 

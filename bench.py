@@ -85,11 +85,21 @@ def main():
     # rank-1 H updates deferred into a per-block factored buffer.
     u_mode = "auto" if tpu_ok else "exact"
     walls = []
-    for _ in range(3 if tpu_ok else 2):
+    # Run until PLATEAU (round-4 verdict weak #1: a fixed best-of-3 in a
+    # fresh checkout never reached the warm steady state — cold AOT cache
+    # on run 1, tunnel warm-up on run 2, so the recorded best was still
+    # monotonically decreasing).  Keep going while the latest run improves
+    # the running best by >8%, up to 8 runs; at least 3 on the chip.
+    min_runs = 3 if tpu_ok else 2
+    max_runs = 8 if tpu_ok else 2
+    while len(walls) < max_runs:
         x, F, SP, SN, T = acc.D_opt_FW_away(V64, x0, eps=base["config"]["eps"],
                                             maxitrs=iters, verbose=False,
                                             chunk=2500, u_mode=u_mode)
         walls.append(float(T[-1]))
+        if (len(walls) >= min_runs
+                and walls[-1] > 0.92 * min(walls[:-1])):
+            break  # plateaued: no material improvement over the best
     solve_s = min(walls)
 
     # certification: fresh float64 evaluation of the (simplex-normalized)

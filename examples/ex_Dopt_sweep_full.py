@@ -47,14 +47,16 @@ def run_study(n, m_list, K, Nmax, seed=0, verbose=True):
                 Vs[k] = np.asarray(f.H, np.float64)
                 x0s[k] = np.asarray(acc.D_opt_KYinit(f.H), np.float64)
             t0 = time.time()
-            # refresh_every: at m >= ~300 the incremental DS slack history
-            # plateaus ~m*2^-49 above the true slack (the fresh slack is
-            # below 1e-8 while the carried one reads ~1.4e-8); periodic
-            # host-f64 refactorization resets the drift so the 1e-8 exit
-            # fires at the honest iteration
+            # precision="auto" (round 5): large-m rows route to the
+            # grid-batched lazy-H Pallas kernel (per-block H0 folds keep
+            # drift ~1e-12, no host refresh needed); small-m rows keep the
+            # vmapped DS scan, where refresh_every matters — at m >= ~300
+            # the incremental DS slack history plateaus ~m*2^-49 above the
+            # true slack and periodic host-f64 refactorization resets it
+            # so the 1e-8 exit fires at the honest iteration
             xb, Fb, SPb, SNb = dopt_fw_batch(Vs, x0s, eps=1e-8,
                                              num_iters=Nmax, away=away,
-                                             precision="ds",
+                                             precision="auto",
                                              refresh_every=4096)
             wall = time.time() - t0
             walls[(name, m)] = wall

@@ -232,6 +232,20 @@ class TestExtras:
         assert len(gaps) == len(Ls)
         assert np.isfinite(gaps).all()
 
+    def test_primal_dual_exact_dual_grad(self):
+        """Opt-in mathematically-correct vector-constraint ascent
+        (exact_dual_grad=True, ADVICE r4): must run and produce finite
+        gaps; it intentionally deviates from the reference-exact path."""
+        np.random.seed(3)
+        M = np.random.rand(15, 15)
+        M = (M + M.T) / 2
+        f, g, h, L, X0 = acc.FrobeniusSymLossExWithLinearCnstrnts(M, 3)
+        F, gaps, Ls = acc.PrimalDualSwitchingGradientMethod(
+            f, h, L, g, X0, maxitrs=60, epsilon=10.0, verbose=False,
+            exact_dual_grad=True)
+        assert len(gaps) == len(Ls)
+        assert np.isfinite(gaps).all()
+
 
 class TestDriverMachinery:
     def test_determinism(self, dopt_small):

@@ -92,6 +92,33 @@ class TestShardedDOpt:
         # padded coordinates hold only the prox's ~1e-30 floor mass
         assert np.abs(x2[44:]).max() < 1e-12
 
+    def test_abda_fastgram_padded_mesh(self, mesh):
+        """Same as above but through the fast_gram engine, whose gradient
+        comes from grad_from_inv — which must apply the same +1e30 pad
+        mask (ADVICE r4 medium: it previously bypassed _mask_pads)."""
+        f, h, L, x0 = acc.D_opt_design(10, 44, randseed=9)  # 44 % 8 != 0
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)
+        out1 = acc.ABDA(f, h, L, x0, gamma=2, maxitrs=40, verbose=False,
+                        fast_gram=True)
+        out2 = acc.ABDA(f_sh, h, L, x_sh, gamma=2, maxitrs=40, verbose=False,
+                        fast_gram=True)
+        np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
+                                   rtol=1e-8)
+        x2 = np.asarray(out2[0])
+        np.testing.assert_allclose(np.asarray(out1[0]), x2[:44], atol=1e-9)
+        assert np.abs(x2[44:]).max() < 1e-12
+
+    def test_mixed_oracle_shardable_when_divisible(self, mesh):
+        """DOptimalObjMixed has no n_valid field; sharding must still work
+        when no padding is needed (ADVICE r4 low: replace() previously
+        required the field unconditionally)."""
+        f, h, L, x0 = acc.D_opt_design(8, 64, randseed=3, oracle="mixed")
+        f_sh, x_sh = shard_dopt_problem(f, x0, mesh)  # 64 % 8 == 0
+        assert f_sh.H.shape == (8, 64)
+        with pytest.raises(ValueError, match="n_valid"):
+            f2, _, _, x2 = acc.D_opt_design(8, 60, randseed=3, oracle="mixed")
+            shard_dopt_problem(f2, x2, mesh)  # 60 % 8 != 0 -> clear error
+
     def test_fw_away_sharded_non_divisible_n(self, mesh):
         f, h, L, x0 = acc.D_opt_design(10, 50, randseed=4)
         V = np.asarray(f.H)
