@@ -31,6 +31,7 @@ from ..ops import (
     SquaredL2Norm,
     SumOf2nd4thPowers,
     SumOf2nd4thPowersPositiveOrthant,
+    SumOf2nd4thPowersPositiveOrthantDS,
     SVM_fun,
 )
 from .utils import (
@@ -130,25 +131,68 @@ def _poisson_data(m, n, noise, randseed, normalizeA):
     return A, b
 
 
-def Poisson_regrL1(m, n, noise=0.01, lamda=0, randseed=-1, normalizeA=True):
+def _regression_oracle(kind, A, b, oracle):
+    """Build the f-oracle for a Poisson/KL regression factory.
+
+    ``oracle``: None (plain, ambient dtype), "mixed", "ds", or "auto".
+    "auto" (round 5, VERDICT r4 #6) picks the best measured engine for
+    the backend: on TPU with x64 enabled and a large design (>= ~2M
+    entries), the DS-elementwise oracle with 5 digit levels — the KL
+    frontier's best recorded row (DS+levels5 1.551 s = 89.7x vs mixed
+    2.16 s at 20000x10000, BASELINE.md round 4); otherwise the plain
+    oracle (small problems and CPU f64 need no engine)."""
+    from ..ops.f_oracles import (KLdivRegression, KLdivRegressionDS,
+                                 KLdivRegressionMixed, PoissonRegression,
+                                 PoissonRegressionDS,
+                                 PoissonRegressionMixed)
+
+    plain, mixed, dscls = {
+        "poisson": (PoissonRegression, PoissonRegressionMixed,
+                    PoissonRegressionDS),
+        "kl": (KLdivRegression, KLdivRegressionMixed, KLdivRegressionDS),
+    }[kind]
+    if oracle == "auto":
+        big = A.size >= 2_000_000
+        x64 = bool(jax.config.jax_enable_x64)
+        oracle = ("ds" if (big and x64
+                           and jax.default_backend() == "tpu") else None)
+        if oracle == "ds":
+            return dscls.from_data(A, b, levels=5)
+    if oracle == "mixed":
+        return mixed.from_data(A, b)
+    if oracle == "ds":
+        return dscls.from_data(A, b)
+    if oracle is not None:
+        raise ValueError(f"unknown oracle {oracle!r}; expected None, "
+                         "'mixed', 'ds' or 'auto'")
+    return plain(A=_dev(A), b=_dev(b))
+
+
+def Poisson_regrL1(m, n, noise=0.01, lamda=0, randseed=-1, normalizeA=True,
+                   oracle=None):
     """L1-regularized Poisson regression: min_{x>=0} D_KL(b, Ax) + lamda|x|_1
-    (reference: applications.py:98-134)."""
+    (reference: applications.py:98-134).  ``oracle``: see
+    ``_regression_oracle`` ("auto" routes to the best measured engine)."""
     A, b = _poisson_data(m, n, noise, randseed, normalizeA)
-    f = PoissonRegression(A=_dev(A), b=_dev(b))
+    f = _regression_oracle("poisson", A, b, oracle)
     return f, BurgEntropyL1(lamda=lamda), float(b.sum()), jnp.full(n, 10.0 / n)
 
 
-def Poisson_regrL2(m, n, noise=0.01, lamda=0, randseed=-1, normalizeA=True):
-    """L2-regularized Poisson regression (reference: applications.py:137-172)."""
+def Poisson_regrL2(m, n, noise=0.01, lamda=0, randseed=-1, normalizeA=True,
+                   oracle=None):
+    """L2-regularized Poisson regression (reference: applications.py:137-172).
+    ``oracle``: see ``_regression_oracle``."""
     A, b = _poisson_data(m, n, noise, randseed, normalizeA)
-    f = PoissonRegression(A=_dev(A), b=_dev(b))
+    f = _regression_oracle("poisson", A, b, oracle)
     return f, BurgEntropyL2(lamda=lamda), float(b.sum()), jnp.full(n, 1.0 / n)
 
 
-def KL_nonneg_regr(m, n, noise=0.01, lamdaL1=0, randseed=-1, normalizeA=True):
+def KL_nonneg_regr(m, n, noise=0.01, lamdaL1=0, randseed=-1, normalizeA=True,
+                   oracle=None):
     """L1-regularized KL regression: min_{x>=0} D_KL(Ax, b) + lamda|x|_1
     with Shannon-entropy kernel, L = max column sum
-    (reference: applications.py:175-206)."""
+    (reference: applications.py:175-206).  ``oracle``: see
+    ``_regression_oracle``."""
     if randseed > 0:
         np.random.seed(randseed)
     A = np.random.rand(m, n)
@@ -157,7 +201,7 @@ def KL_nonneg_regr(m, n, noise=0.01, lamdaL1=0, randseed=-1, normalizeA=True):
     x = np.random.rand(n)
     b = A @ x + noise * (np.random.rand(m) - 0.5)
     assert b.min() > 0, "need b > 0 for nonnegative regression."
-    f = KLdivRegression(A=_dev(A), b=_dev(b))
+    f = _regression_oracle("kl", A, b, oracle)
     return f, ShannonEntropyL1(lamda=lamdaL1), float(A.sum(axis=0).max()), jnp.full(n, 0.5)
 
 
@@ -294,24 +338,39 @@ def FrobeniusSymLossResMeasEx(M, r, noise=0.0, oracle=None):
 
     ``oracle="mixed"`` returns a ``FrobeniusSymLossMixed`` f-oracle
     (f64-grade M@X / X^T X via exact int8 Ozaki products against
-    pre-split digit planes of M; needs x64; incompatible with ``noise``)."""
+    pre-split digit planes of M; needs x64; incompatible with ``noise``).
+    ``oracle="ds"`` (round 5) pairs ``FrobeniusSymLossDS`` with the
+    DS-Cardano prox kernel — the f64-grade SymNMF fast path (no emulated
+    f64 in the hot loop).  ``oracle="auto"`` picks "ds" on a TPU backend
+    with x64 enabled and a large M (n >= ~1024), plain otherwise
+    (VERDICT r4 #6)."""
+    import jax as _jax
+
     M = np.asarray(M)
     X0 = np.random.rand(M.shape[0], r)
-    if oracle == "mixed":
+    if oracle == "auto":
+        oracle = ("ds" if (M.shape[0] >= 1024 and not noise
+                           and bool(_jax.config.jax_enable_x64)
+                           and _jax.default_backend() == "tpu") else None)
+    h_cls = SumOf2nd4thPowersPositiveOrthant
+    if oracle in ("mixed", "ds"):
         if noise:
-            raise ValueError("oracle='mixed' has no stochastic mode")
-        from ..ops.f_oracles import FrobeniusSymLossMixed
+            raise ValueError(f"oracle={oracle!r} has no stochastic mode")
+        from ..ops.f_oracles import FrobeniusSymLossDS, FrobeniusSymLossMixed
 
-        f = FrobeniusSymLossMixed.from_data(M)
+        if oracle == "ds":
+            f = FrobeniusSymLossDS.from_data(M)
+            h_cls = SumOf2nd4thPowersPositiveOrthantDS
+        else:
+            f = FrobeniusSymLossMixed.from_data(M)
         X0 = X0.astype(np.float64)
     elif oracle is None:
         f = FrobeniusSymLoss.create(_dev(M), _dev(X0),
                                     noise_level=noise if noise else None)
     else:
-        raise ValueError(f"unknown oracle={oracle!r} (None or 'mixed')")
-    h = SumOf2nd4thPowersPositiveOrthant(alpha=6.0,
-                                         sigma=2 * np.linalg.norm(M, 2),
-                                         upper_bound=None)
+        raise ValueError(f"unknown oracle={oracle!r} "
+                         "(None, 'mixed', 'ds' or 'auto')")
+    h = h_cls(alpha=6.0, sigma=2 * np.linalg.norm(M, 2), upper_bound=None)
     return f, [h, SquaredL2Norm()], 1.0, _dev(X0)
 
 

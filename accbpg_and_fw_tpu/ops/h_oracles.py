@@ -360,6 +360,70 @@ class SumOf2nd4thPowersPositiveOrthant(SumOf2nd4thPowers):
 
 
 @pytree_dataclass
+class SumOf2nd4thPowersPositiveOrthantDS(SumOf2nd4thPowersPositiveOrthant):
+    """``SumOf2nd4thPowersPositiveOrthant`` with a DOUBLE-SINGLE-interior
+    prox (round 5): the mirror point, clip, norm reductions and Cardano
+    root all run in (hi, lo) f32 pairs — f64-grade answers with NO
+    emulated-f64 arithmetic in the prox (on TPU the plain-f64 prox
+    measured 2.15 ms/call at 4096x32, dominated by f64 elementwise
+    emulation; the kernel math is reference functions.py:558-577 +
+    :522-544).  f64 exists only at the driver API boundary, matching the
+    ``FrobeniusSymLossDS`` f-oracle — together they form the f64-grade
+    SymNMF fast path.  value/grad/divergence stay inherited (exact f64) —
+    they appear only in line searches, not the BPG(no-LS) hot loop."""
+
+    def _ds_pieces(self, L):
+        from . import double_single as dsl
+
+        f64 = jnp.float64
+        alpha = dsl.from_f64(jnp.asarray(self.alpha, f64))
+        sigma = dsl.from_f64(jnp.asarray(self.sigma, f64))
+        inv_L = dsl.from_f64(1.0 / jnp.asarray(L, f64))
+        return dsl, alpha, sigma, inv_L
+
+    @staticmethod
+    def _norm2_ds(dsl, x):
+        flat = (x[0].reshape(-1), x[1].reshape(-1))
+        return dsl.sum_along(dsl.sq(flat), 0)
+
+    def _clip_ds(self, dsl, u):
+        pos = (u[0] > 0) | ((u[0] == 0) & (u[1] > 0))
+        zero = jnp.zeros_like(u[0])
+        u = (jnp.where(pos, u[0], zero), jnp.where(pos, u[1], zero))
+        if self.upper_bound is not None:
+            ub = dsl.from_f64(jnp.asarray(self.upper_bound, jnp.float64))
+            over = dsl.lt(ub, u)
+            u = dsl.where(over, (jnp.broadcast_to(ub[0], u[0].shape),
+                                 jnp.broadcast_to(ub[1], u[1].shape)), u)
+        return u
+
+    def _grad_inverse_ds(self, dsl, alpha, sigma, u):
+        from .roots import solve_cubic_ds
+
+        n2u = self._norm2_ds(dsl, u)
+        z = solve_cubic_ds(dsl.mul(alpha, n2u), sigma)
+        one = (jnp.ones_like(z[0]), jnp.zeros_like(z[0]))
+        inv_z = dsl.div(one, z)
+        return dsl.mul(u, inv_z)
+
+    def prox_map(self, g, L):
+        dsl, alpha, sigma, inv_L = self._ds_pieces(L)
+        g_ds = dsl.from_f64(jnp.asarray(g, jnp.float64))
+        u = self._clip_ds(dsl, dsl.neg(dsl.mul(g_ds, inv_L)))
+        return dsl.to_f64(self._grad_inverse_ds(dsl, alpha, sigma, u))
+
+    def div_prox_map(self, y, g, L):
+        dsl, alpha, sigma, inv_L = self._ds_pieces(L)
+        y_ds = dsl.from_f64(jnp.asarray(y, jnp.float64))
+        g_ds = dsl.from_f64(jnp.asarray(g, jnp.float64))
+        n2 = self._norm2_ds(dsl, y_ds)
+        zc = dsl.add(dsl.mul(alpha, n2), sigma)
+        u = dsl.sub(dsl.mul(zc, y_ds), dsl.mul(g_ds, inv_L))
+        u = self._clip_ds(dsl, u)
+        return dsl.to_f64(self._grad_inverse_ds(dsl, alpha, sigma, u))
+
+
+@pytree_dataclass
 class SumOf2nd4thPowersOnSimplex(SumOf2nd4thPowers):
     """Same kernel on the matrix simplex (reference :580-636).
 

@@ -460,6 +460,22 @@ def _lazy_refresh(H0h, H0l, CTh, CTl, bh, bl, al, lev=LEV):
 
 
 @functools.partial(jax.jit, static_argnames=("lev",))
+def _fresh_w(H0h, H0l, V_packed, sV, Vh, Vl, lev=LEV):
+    """Device-side fresh w = diag(V^T H0 V) from the CARRIED folded H0
+    (round 5): after a fold, H0 IS the current inverse (alpha reset to 1,
+    rank buffer empty), so w_j = v_j^T H0 v_j recomputed against the
+    packed design planes resets the w-recurrence drift (~m*2^-49 per
+    block chain) WITHOUT the host-f64 refactorization that cost ~0.5 s
+    per instance at 1000x2000 (measured: host-refresh sweeps spent 4x
+    their kernel time in numpy Cholesky).  One int8 MXU GEMM
+    (``ozaki_mm_ds``) + a DS elementwise contract; residual drift is the H0
+    fold's own ~1e-12 per block, far below 1e-8 slack bars."""
+    HV = mp.ozaki_mm_ds(H0h, H0l, V_packed, sV, levels_b=lev, levels_m=lev)
+    wf = ds.sum_along(ds.mul((Vh, Vl), HV), 0, keepdims=True)
+    return wf
+
+
+@functools.partial(jax.jit, static_argnames=("lev",))
 def _pack_h0(H0h, H0l, lev=LEV):
     dH, sH = mp.digit_split_matrix_ds(H0h, H0l, lev)
     return mp.pack_digit_planes(dH), sH.reshape(1, -1)
@@ -813,9 +829,19 @@ def _build_lazy_chunk_fn_batch(K, m, MP, NP, KR, away, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_lazy_kernel_body, m, MP, NP, KR, away,
-                               interpret)
     f32 = jnp.float32
+
+    def kernel(scal_all, vp, sv, hp, sh, xh, xl, wh, wl,
+               xh_o, xl_o, wh_o, wl_o, CTh_o, CTl_o, bh_o, bl_o,
+               misc_all, TAU_o, TAUl_o, TWV_o, TWVl_o, SP_o, SN_o):
+        # SMEM operands stay whole (Mosaic rejects 2D SMEM blocks with a
+        # squeezed leading dim); index the grid step's row via .at views
+        pid = pl.program_id(0)
+        _lazy_kernel_body(m, MP, NP, KR, away, interpret,
+                          scal_all.at[pid], vp, sv, hp, sh, xh, xl, wh, wl,
+                          xh_o, xl_o, wh_o, wl_o, CTh_o, CTl_o, bh_o, bl_o,
+                          misc_all.at[pid], TAU_o, TAUl_o, TWV_o, TWVl_o,
+                          SP_o, SN_o)
 
     def vspec(*shape):
         nzero = len(shape)
@@ -824,8 +850,8 @@ def _build_lazy_chunk_fn_batch(K, m, MP, NP, KR, away, interpret):
                             memory_space=pltpu.VMEM)
 
     def sspec(width):
-        return pl.BlockSpec((None, width), lambda k: (k, 0),
-                            memory_space=pltpu.SMEM)
+        del width
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
 
     call = pl.pallas_call(
         kernel,
@@ -839,7 +865,7 @@ def _build_lazy_chunk_fn_batch(K, m, MP, NP, KR, away, interpret):
             jax.ShapeDtypeStruct((K, KR, MP), f32),   # CTl
             jax.ShapeDtypeStruct((K, KR, 1), f32),    # beta hi
             jax.ShapeDtypeStruct((K, KR, 1), f32),    # beta lo
-            jax.ShapeDtypeStruct((K, 4), f32),        # misc
+            jax.ShapeDtypeStruct((K, 128), f32),      # misc (row padded to the 128 SMEM tile)
             jax.ShapeDtypeStruct((K, 1, KR), f32),    # TAU hi
             jax.ShapeDtypeStruct((K, 1, KR), f32),    # TAU lo
             jax.ShapeDtypeStruct((K, 1, KR), f32),    # TWV hi
@@ -921,7 +947,7 @@ def _get_multi_executable_batch(K, m, MP, NP, KR, away, nblocks):
         return None
     f32 = jnp.float32
     avals = (
-        jax.ShapeDtypeStruct((K, 4), f32),          # scal_base
+        jax.ShapeDtypeStruct((K, 128), f32),        # scal_base (row padded to the 128 SMEM tile)
         jax.ShapeDtypeStruct((K,), f32),            # rem0
         jax.ShapeDtypeStruct((K, MP, LEV * NP), jnp.int8),
         jax.ShapeDtypeStruct((K, 1, NP), f32),      # sV
@@ -959,7 +985,8 @@ def _get_multi_executable_batch(K, m, MP, NP, KR, away, nblocks):
 
 
 def dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters, away=True,
-                              interpret=False, group=None, verbose=False):
+                              interpret=False, group=None, verbose=False,
+                              refresh_every=0):
     """Solve K same-shape D-opt instances on the lazy-H fused kernel.
 
     Vs: (K, m, n) stacked designs; x0s: (K, n).  Returns ``(x, F, SP, SN)``
@@ -975,7 +1002,15 @@ def dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters, away=True,
 
     ``group``: launch blocks (of _KR=256 iterations) per dispatch; default
     covers min(budget, 32 blocks) per dispatch and re-dispatches until all
-    instances converge or the budget is spent."""
+    instances converge or the budget is spent.
+
+    ``refresh_every``: periodic host-f64 refactorization of every
+    still-running instance (cadence rounded UP to _KR-block granularity).
+    REQUIRED for deep targets at large m: the carried w drifts ~m*2^-49
+    above the true slack (same plateau as the DS scan — measured SN stuck
+    at 9.5e-8 >(eps=1e-8) for 1000x2000 KY-init runs without refresh,
+    while the fresh slack was far below the bar); the refresh resets the
+    drift so the eps exit fires at the honest iteration."""
     import contextlib
 
     on_tpu = jax.default_backend() == "tpu" and not interpret
@@ -983,12 +1018,12 @@ def dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters, away=True,
     with ctx:
         return _dopt_fw_pallas_lazy_batch_impl(
             Vs, x0s, eps, num_iters, away=away, interpret=interpret,
-            group=group, verbose=verbose)
+            group=group, verbose=verbose, refresh_every=refresh_every)
 
 
 def _dopt_fw_pallas_lazy_batch_impl(Vs, x0s, eps, num_iters, away=True,
                                     interpret=False, group=None,
-                                    verbose=False):
+                                    verbose=False, refresh_every=0):
     Vs64 = np.asarray(Vs, np.float64)
     K, m, n = Vs64.shape
     x0s64 = np.asarray(x0s, np.float64)
@@ -1003,27 +1038,35 @@ def _dopt_fw_pallas_lazy_batch_impl(Vs, x0s, eps, num_iters, away=True,
     V_packed, sV_dev = jax.vmap(functools.partial(_pack_v, lev=LEV))(
         Vh_s, Vl_s)
 
-    # host f64 factorization per instance
-    H_l, w_l, ld_l = [], [], []
-    for k in range(K):
-        H, w, logdet = _factorize_np(Vs64[k], x0s64[k])
-        H_l.append(_pad2(H, (MP, MP)))
-        w_l.append(_pad2(w[None, :], (1, NP)))
-        ld_l.append(logdet)
-    H0h, H0l = (jnp.asarray(a) for a in _split64(np.stack(H_l)))
-    H0p, sH0 = jax.vmap(functools.partial(_pack_h0, lev=LEV))(H0h, H0l)
-    wh, wl = (jnp.asarray(a) for a in _split64(np.stack(w_l)))
-    x_pad = np.stack([_pad2(x0s64[k][None, :], (1, NP)) for k in range(K)])
-    xh, xl = (jnp.asarray(a) for a in _split64(x_pad))
-    ld = np.asarray(ld_l, np.float64)
+    # host f64 factorization per instance (also the refresh path)
+    def fresh_state_np(x_all64):
+        H_l, w_l, ld_l = [], [], []
+        for k in range(K):
+            H, w, logdet = _factorize_np(Vs64[k], x_all64[k])
+            H_l.append(_pad2(H, (MP, MP)))
+            w_l.append(_pad2(w[None, :], (1, NP)))
+            ld_l.append(logdet)
+        H0h, H0l = (jnp.asarray(a) for a in _split64(np.stack(H_l)))
+        H0p, sH0 = jax.vmap(functools.partial(_pack_h0, lev=LEV))(H0h, H0l)
+        wh, wl = (jnp.asarray(a) for a in _split64(np.stack(w_l)))
+        x_pad = np.stack([_pad2(x_all64[k][None, :], (1, NP))
+                          for k in range(K)])
+        xh, xl = (jnp.asarray(a) for a in _split64(x_pad))
+        return (H0h, H0l, H0p, sH0, xh, xl, wh, wl), np.asarray(
+            ld_l, np.float64)
 
-    scal_base = np.zeros((K, 4), np.float32)
+    (H0h, H0l, H0p, sH0, xh, xl, wh, wl), ld = fresh_state_np(x0s64)
+
+    scal_base = np.zeros((K, 128), np.float32)  # 128-tile-aligned SMEM rows
     scal_base[:, 0] = eps32
     scal_base[:, 1] = np.float32(1.0e-8)
     scal_base = jnp.asarray(scal_base)
 
     if group is None:
         nb_group = min(_next_pow2(max(1, -(-num_iters // KR))), 32)
+        if refresh_every:
+            nb_group = min(nb_group,
+                           _next_pow2(max(1, -(-refresh_every // KR))))
     else:
         nb_group = max(1, int(group))
     multi = None
@@ -1039,6 +1082,7 @@ def _dopt_fw_pallas_lazy_batch_impl(Vs, x0s, eps, num_iters, away=True,
     SN_rows = [[] for _ in range(K)]
     stopped = np.zeros(K, bool)
     emitted = np.zeros(K, np.int64)
+    since_refresh = 0
     state = (H0h, H0l, H0p, sH0, xh, xl, wh, wl)  # multi's arg order
     while (~stopped).any() and (emitted[~stopped] < num_iters).any():
         rem0 = jnp.asarray(
@@ -1081,6 +1125,19 @@ def _dopt_fw_pallas_lazy_batch_impl(Vs, x0s, eps, num_iters, away=True,
         if verbose:
             print(f"# lazy batch: emitted={emitted.tolist()} "
                   f"stopped={int(stopped.sum())}/{K}")
+        since_refresh += int(nb_group) * KR
+        if (refresh_every and since_refresh >= refresh_every
+                and (~stopped).any()):
+            # DEVICE-SIDE w refresh (round 5): recompute w = diag(V^T H0 V)
+            # against the carried folded H0 (one int8 GEMM + DS contract,
+            # vmapped over instances) — resets the w-recurrence drift that
+            # overstates the carried slack ~2x near deep targets, at
+            # ~1 ms/instance instead of the ~0.5 s/instance host-f64
+            # refactorization (which dominated 4x over kernel time)
+            wf = jax.vmap(functools.partial(_fresh_w, lev=LEV))(
+                state[0], state[1], V_packed, sV_dev, Vh_s, Vl_s)
+            state = state[:6] + (wf[0], wf[1])
+            since_refresh = 0
 
     xh_h, xl_h = jax.device_get((state[4], state[5]))
     x = (xh_h[:, 0, :n].astype(np.float64)

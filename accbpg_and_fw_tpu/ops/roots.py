@@ -40,6 +40,30 @@ def solve_cubic(c, beta):
     return z
 
 
+def solve_cubic_ds(c, beta):
+    """DOUBLE-SINGLE root of ``z**3 - beta*z**2 = c`` (c, beta DS pairs).
+
+    Seeds with the f32 Cardano closed form on the hi planes, then polishes
+    with 3 Newton steps whose RESIDUAL is evaluated in exact DS arithmetic
+    (the correction divides by an f32 derivative — the correction itself
+    is ~1e-8-relative, so an f32 denominator leaves ~1e-16 relative error
+    in z).  This is the f64-grade prox root for the SumOf2nd4thPowers
+    kernel family without any emulated-f64 ops (reference cubic:
+    functions.py:522-544).
+    """
+    from . import double_single as dsl
+
+    z0 = solve_cubic(c[0], beta[0])
+    z = dsl.from_f32(z0)
+    for _ in range(3):
+        zmb = dsl.sub(z, beta)
+        num = dsl.sub(dsl.mul(dsl.sq(z), zmb), c)          # z^2(z-b) - c
+        den = z[0] * (3.0 * z[0] - 2.0 * beta[0])
+        inv_den = jnp.where(den == 0, jnp.zeros_like(den), 1.0 / den)
+        z = dsl.sub(z, (num[0] * inv_den, num[1] * inv_den))
+    return z
+
+
 def simplex_inv_multiplier(gg, eps, max_newton=100, c_warm=None):
     """Solve ``sum_i 1/(gg_i + c) = 1`` for the unique ``c > -min(gg)``.
 

@@ -328,7 +328,8 @@ def dopt_fw_batch(Vs, x0s, eps, num_iters, away=True, refresh_every=0,
 
         interpret = jax.default_backend() != "tpu"
         return dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters,
-                                         away=away, interpret=interpret)
+                                         away=away, interpret=interpret,
+                                         refresh_every=refresh_every)
     if precision == "ds":
         return dopt_fw_batch_ds(Vs, x0s, eps, num_iters, away=away,
                                 refresh_every=refresh_every)

@@ -135,8 +135,14 @@ def main():
         out["mixed_F_final"] = float(F[-1])
         if a.ds:
             fds = acc.FrobeniusSymLossDS.from_data(M, levels=a.levels)
+            # round 5: the DS-Cardano prox closes the other half of the
+            # step (the plain f64 prox measured 2.15 ms/call at 4096x32,
+            # all f64 elementwise emulation)
+            hds = acc.SumOf2nd4thPowersPositiveOrthantDS(
+                alpha=jnp.float64(alpha), sigma=jnp.float64(sigma),
+                upper_bound=None)
             for _ in range(2):
-                X, F, Ls, T = acc.BPG(fds, hm, L, X0m, maxitrs=a.maxitrs,
+                X, F, Ls, T = acc.BPG(fds, hds, L, X0m, maxitrs=a.maxitrs,
                                       linesearch=False, verbose=False)
             out["ds_wall_s"] = round(float(T[-1]), 3)
             out["ds_F_final"] = float(F[-1])

@@ -130,3 +130,40 @@ def test_calculate_tse_constant():
     x_next = y + alpha * (z_next - z)
     gamma = float(acc.calculate_tse_constant(h, x_next, y, z_next, z, alpha))
     assert abs(gamma - 2.0) < 1e-3
+
+
+def test_regression_oracle_auto_routing():
+    """oracle="auto" (round 5): explicit engines resolve; on this CPU
+    backend auto falls back to the plain oracle regardless of size."""
+    import accbpg_and_fw_tpu as acc
+    from accbpg_and_fw_tpu.ops.f_oracles import (KLdivRegressionDS,
+                                                 PoissonRegression,
+                                                 PoissonRegressionMixed)
+
+    f, h, L, x0 = acc.Poisson_regrL1(20, 30, randseed=3, oracle="auto")
+    assert isinstance(f, PoissonRegression)
+    f, h, L, x0 = acc.Poisson_regrL1(20, 30, randseed=3, oracle="mixed")
+    assert isinstance(f, PoissonRegressionMixed)
+    f, h, L, x0 = acc.KL_nonneg_regr(20, 30, randseed=3, oracle="ds")
+    assert isinstance(f, KLdivRegressionDS)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown oracle"):
+        acc.Poisson_regrL2(10, 10, oracle="bogus")
+
+
+def test_symnmf_factory_ds_route():
+    """FrobeniusSymLossResMeasEx oracle="ds" pairs the DS f-oracle with
+    the DS-Cardano prox kernel."""
+    import accbpg_and_fw_tpu as acc
+    from accbpg_and_fw_tpu.ops.f_oracles import FrobeniusSymLossDS
+
+    rng = np.random.default_rng(0)
+    M = rng.random((32, 32))
+    M = 0.5 * (M + M.T)
+    f, hs, L, X0 = acc.FrobeniusSymLossResMeasEx(M, 4, oracle="ds")
+    assert isinstance(f, FrobeniusSymLossDS)
+    assert isinstance(hs[0], acc.SumOf2nd4thPowersPositiveOrthantDS)
+    # auto on CPU -> plain
+    f2, *_ = acc.FrobeniusSymLossResMeasEx(M, 4, oracle="auto")
+    assert isinstance(f2, acc.FrobeniusSymLoss)

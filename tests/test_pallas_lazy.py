@@ -190,3 +190,49 @@ class TestLazyBatchInterpret:
             G = (Vs[k] * xs) @ Vs[k].T
             w = np.einsum("ij,ij->j", Vs[k], np.linalg.solve(G, Vs[k]))
             assert w.max() / m - 1.0 <= 2e-2
+
+    def test_fresh_w_matches_factorization(self):
+        """_fresh_w (device-side w refresh from the carried H0) must match
+        the host-f64 factorization's w to DS grade."""
+        from accbpg_and_fw_tpu.ops.pallas_dopt_lazy import (
+            _factorize_np, _fresh_w, _next_pow2, _pack_v, _pad2, _split64,
+            _LANE,
+        )
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(2)
+        m, n = 12, 160
+        V = rng.standard_normal((m, n))
+        x = rng.random(n)
+        x /= x.sum()
+        MP = _next_pow2(max(m, 8))
+        NP = -(-n // _LANE) * _LANE
+        H, w, _ = _factorize_np(V, x)
+        Vp = _pad2(V, (MP, NP))
+        Vh, Vl = (jnp.asarray(a) for a in _split64(Vp))
+        V_packed, sV = _pack_v(Vh, Vl)
+        Hh, Hl = (jnp.asarray(a) for a in _split64(_pad2(H, (MP, MP))))
+        wf = _fresh_w(Hh, Hl, V_packed, sV, Vh, Vl)
+        wf64 = (np.asarray(wf[0], np.float64)
+                + np.asarray(wf[1], np.float64))[0, :n]
+        np.testing.assert_allclose(wf64, w, rtol=1e-12, atol=1e-12)
+
+    def test_batch_refresh_every_runs(self):
+        """refresh_every through the batch engine: certification unchanged."""
+        from accbpg_and_fw_tpu.ops.pallas_dopt_lazy import (
+            dopt_fw_pallas_lazy_batch,
+        )
+
+        rng = np.random.default_rng(9)
+        K, m, n = 2, 10, 128
+        Vs = rng.standard_normal((K, m, n))
+        x0s = np.full((K, n), 1.0 / n)
+        x, F, SP, SN = dopt_fw_pallas_lazy_batch(
+            Vs, x0s, 1e-3, 2000, interpret=True, refresh_every=300)
+        for k in range(K):
+            xs = np.maximum(np.asarray(x[k], np.float64), 0.0)
+            xs /= xs.sum()
+            G = (Vs[k] * xs) @ Vs[k].T
+            ww = np.einsum("ij,ij->j", Vs[k], np.linalg.solve(G, Vs[k]))
+            assert ww.max() / m - 1.0 <= 2e-3
