@@ -77,6 +77,13 @@ _KR = 256         # iterations per launch block == rank-buffer capacity
 # Clear _build_lazy_chunk_fn.cache_clear() after changing.  Never set in
 # production paths.
 _ABLATE: frozenset = frozenset()
+# Vi-extraction strategy (round 5, VERDICT r4 #5): False = the one-hot
+# slab dot (reads all of V_packed, ~13 us at 42 MB); True = scalar-crossing
+# dynamic 128-lane windows + one tiny selection dot (reads LEV*MP*128
+# bytes).  A module flag, not a kwarg: the AOT cache keys on the package
+# source digest, so flipping it can never serve a stale executable; builder
+# lru_caches must be cleared by dev scripts that flip it at runtime.
+_EXTRACT_WINDOW = False
 # matmul slab width (lanes) for the big packed-V dots: full-ref operands
 # would materialize a 40 MB stack value per dot (probed OOM at 110 MB)
 _SLAB = 10240
@@ -234,6 +241,23 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
             # loop-invariant digits (hoisted by Mosaic — times the kernel
             # with the extraction dots absent)
             Vi_d = lax.broadcasted_iota(jnp.int32, (8, MP), 1) % 63
+        elif _EXTRACT_WINDOW:
+            # scalar-crossing route: one 128-lane dynamic window per digit
+            # level (128-aligned, the Mosaic DMA/slice rule), concatenated,
+            # then ONE tiny selection dot — reads LEV*MP*128 bytes instead
+            # of all of V_packed
+            from jax.experimental import pallas as pl
+
+            vqs = vq[0, 0]                       # vector -> scalar crossing
+            v8 = (vqs // 128) * 128
+            off = vqs - v8
+            wins = [vp_ref[:, pl.ds(l * NP + v8, 128)] for l in range(LEV)]
+            W8 = jnp.concatenate(wins, axis=1)   # (MP, LEV*128) int8
+            pidx = lax.broadcasted_iota(jnp.int32, (LEV, LEV * 128), 1)
+            lidx = lax.broadcasted_iota(jnp.int32, (LEV, LEV * 128), 0)
+            oh = (pidx == lidx * 128 + off).astype(jnp.int8)
+            Vi_d = lax.dot_general(oh, W8, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
         else:
             Vi_d = jnp.zeros((8, MP), jnp.int32)
             for s0, sw in slabs:

@@ -109,7 +109,26 @@ def main():
         if "numpy_wall_s" in out:
             out["ds_speedup"] = round(
                 out["numpy_wall_s"] / max(out["ds_wall_s"], 1e-9), 1)
+    # auto-routed engine (round 5, VERDICT r4 #6): the factory picks the
+    # best measured engine for this backend/size WITHOUT flags — on TPU
+    # with a large design this resolves to KLdivRegressionDS(levels=5),
+    # the best recorded KL row (BASELINE.md round 4)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    fa, ha, La, x0a = acc.KL_nonneg_regr(a.m, a.n, noise=0.01,
+                                         lamdaL1=a.lamda, randseed=1,
+                                         oracle="auto")
+    out["auto_engine"] = type(fa).__name__
+    for _ in range(2):
+        x, F, Ls, T = acc.BPG(fa, ha, La, jnp.asarray(x064),
+                              maxitrs=a.maxitrs, linesearch=False,
+                              verbose=False)
+    out["auto_wall_s"] = round(float(T[-1]), 3)
+    out["auto_F_final"] = float(F[-1])
     if "numpy_wall_s" in out:
+        out["auto_speedup"] = round(
+            out["numpy_wall_s"] / max(out["auto_wall_s"], 1e-9), 1)
         out["speedup"] = round(
             out["numpy_wall_s"] / max(out["ours_wall_s"], 1e-9), 1)
     print(json.dumps(out))

@@ -108,6 +108,24 @@ def main():
                 out["numpy_wall_s"] / max(out["mixed_wall_s"], 1e-9), 1)
             out["mixed_F_absdiff"] = abs(out["mixed_F_final"]
                                          - out["numpy_F_final"])
+
+    # auto-routed engine (round 5, VERDICT r4 #6): the factory picks the
+    # best measured engine for this backend/size WITHOUT flags
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    fa, ha, La, x0a = acc.Poisson_regrL1(a.m, a.n, noise=0.0001, lamda=1e-3,
+                                         randseed=1, oracle="auto")
+    out["auto_engine"] = type(fa).__name__
+    for _ in range(2):
+        x, F, Ls, T = acc.BPG(fa, ha, La, jnp.asarray(x064),
+                              maxitrs=a.maxitrs, linesearch=False,
+                              verbose=False)
+    out["auto_wall_s"] = round(float(T[-1]), 3)
+    out["auto_F_final"] = float(F[-1])
+    if "numpy_wall_s" in out:
+        out["auto_speedup"] = round(
+            out["numpy_wall_s"] / max(out["auto_wall_s"], 1e-9), 1)
     print(json.dumps(out))
 
 

@@ -146,6 +146,18 @@ def main():
                                       linesearch=False, verbose=False)
             out["ds_wall_s"] = round(float(T[-1]), 3)
             out["ds_F_final"] = float(F[-1])
+            # fresh f64 certification of the DS iterate (never trust the
+            # incremental history alone).  NOTE: this is F(X_final), ONE
+            # prox step beyond F[-1] (which the driver evaluates at the
+            # pre-step iterate, reference semantics) — at these budgets
+            # BPG still descends ~0.6% per step, so fresh < F[-1] by one
+            # step's progress is the CORRECT relationship (verified
+            # against pure f64 on CPU).
+            Xn = np.asarray(X, np.float64)
+            XtX = Xn.T @ Xn
+            out["ds_F_fresh_f64"] = float(
+                0.5 * (np.linalg.norm(M) ** 2 + np.linalg.norm(XtX) ** 2)
+                - np.vdot(Xn, M @ Xn))
         if "numpy_wall_s" in out:
             out["mixed_speedup"] = round(
                 out["numpy_wall_s"] / max(out["mixed_wall_s"], 1e-9), 1)
