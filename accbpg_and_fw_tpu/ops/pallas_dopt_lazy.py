@@ -740,6 +740,10 @@ def _dopt_fw_pallas_lazy_impl(V, x0, eps, maxitrs, away=True, verbose=True,
     if multi is None:
         multi = _build_multi_block(m, MP, NP, KR, bool(away),
                                    bool(interpret), nb_group)
+    # the wall-time basis starts AFTER the executable is fetched/compiled:
+    # a cold remote Mosaic compile (minutes) is not solve time (the bench
+    # contract excludes compilation, like the reference's BLAS warmup)
+    t0 = time.time() - t_prev
 
     while k_done < maxitrs and not stopped:
         carry, hists = multi(scal_base, jnp.float32(maxitrs - k_done),

@@ -259,7 +259,13 @@ def _resolve_auto_batch_precision(Vs):
         NP = -(-n // 128) * 128
         # double-buffered per-instance blocks must fit the compiler grant
         vmem_bytes = 2 * (8 * MP * NP + 8 * MP * MP)
-        if m >= 256 and vmem_bytes <= 70 * 1024 * 1024:
+        # m >= 64: measured on-chip A/B at K=3, n=1000, 20k iters (warm):
+        # lazy grid 0.58 s (m=100) / 0.71 s (m=200) vs vmapped DS 1.74 /
+        # 2.09 s — the lazy kernel's ~10 us/inst/iter op-count floor beats
+        # the DS scan's O(m^2)-growing rank-1 update from m ~ 64 up; below
+        # that (e.g. the 30x1000 K=32 sweeps, DS ~3 us/inst/iter) the
+        # vmapped engines win.
+        if m >= 64 and vmem_bytes <= 70 * 1024 * 1024:
             return "pallas_lazy"
     return "ds"
 
