@@ -83,7 +83,13 @@ _ABLATE: frozenset = frozenset()
 # bytes).  A module flag, not a kwarg: the AOT cache keys on the package
 # source digest, so flipping it can never serve a stale executable; builder
 # lru_caches must be cleared by dev scripts that flip it at runtime.
-_EXTRACT_WINDOW = False
+# Measured A/B at 1000x5000 (interleaved min-of-10): one degraded-tunnel
+# session gave a TIE (171.6 vs 172.9 us/iter), a second gave window
+# -15% (181.0 vs 213.8) — noise-bound but sign-consistent with the 40x
+# smaller read; trajectories are BIT-IDENTICAL both modes (on-chip
+# iteration counts and slacks match to the last digit).  Window is the
+# default since round 5.
+_EXTRACT_WINDOW = True
 # matmul slab width (lanes) for the big packed-V dots: full-ref operands
 # would materialize a 40 MB stack value per dot (probed OOM at 110 MB)
 _SLAB = 10240
