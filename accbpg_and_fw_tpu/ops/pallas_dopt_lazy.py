@@ -69,7 +69,7 @@ from .pallas_dopt import (_BIG_F32, _INNER, _ds_div_fast, _factorize_np,
 
 _LANE = 128
 LEV = 8           # int8 digit levels for V and H0 (48 bits ~ DS precision)
-_MAX_DIAG = 6     # digit diagonals kept in the combines: dropped terms are
+_MAX_DIAG = 5     # digit diagonals kept in the combines: dropped terms are
                   # <= 64^-10 ~ 8.7e-19 relative — 2000x below the DS
                   # significand (2^-49); round 5 cut from 9 (measured A/B)
 _KR = 256         # iterations per launch block == rank-buffer capacity
