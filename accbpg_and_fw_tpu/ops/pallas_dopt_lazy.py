@@ -69,9 +69,14 @@ from .pallas_dopt import (_BIG_F32, _INNER, _ds_div_fast, _factorize_np,
 
 _LANE = 128
 LEV = 8           # int8 digit levels for V and H0 (48 bits ~ DS precision)
-_MAX_DIAG = 5     # digit diagonals kept in the combines: dropped terms are
-                  # <= 64^-10 ~ 8.7e-19 relative — 2000x below the DS
-                  # significand (2^-49); round 5 cut from 9 (measured A/B)
+_MAX_DIAG = 5     # digit diagonals kept in the combines.  Round-5 A/B
+                  # ladder (bench at 1000x5000, certified -5.4e-12 at every
+                  # step): 9 -> 0.931 s, 7 -> 0.875, 6 -> 0.813, 5 -> 0.755
+                  # (= 427x, 36.4 us/iter); dropped terms at 5 are
+                  # <= 64^-8 ~ 3.5e-15 relative, i.e. AT the DS significand
+                  # (2^-49) — iteration counts and slacks unchanged to 5
+                  # digits.  4 (2.2e-13) FAILS the 1e-9 cross-engine parity
+                  # tests: do not go lower.
 _KR = 256         # iterations per launch block == rank-buffer capacity
 
 # development aid (cf. pallas_dopt._ABLATE): kernel-body stages to skip when
