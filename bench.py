@@ -6,7 +6,7 @@ this machine converges to complementary slackness 1e-8 in 20741 iterations /
 322.2 s, and its optimum F* was certified by a fresh float64 slogdet of the
 trajectory-identical run's final iterate.
 
-This bench runs OUR solver (round-4 lazy-H fused Pallas kernel, what
+This bench runs OUR solver (lazy-H fused Pallas kernel, what
 u_mode="auto" resolves to at this scale: double-single state, the whole
 iteration inside one kernel with VMEM-resident packed int8 design planes
 and deferred rank-1 H updates — ops/pallas_dopt_lazy.py) for the SAME
@@ -17,7 +17,9 @@ import/BLAS warmup too); iteration count is fixed so the comparison is
 pure per-iteration throughput of the same algorithm at verified-equal
 solution quality.  (Round-1: mixed f64+int8-Ozaki, 27x, gap 8.0e-7;
 round-2: DS scan, ~72x, gap ~5e-12; round-3: packed-u DS scan, 107.9x;
-round-4: lazy-H kernel, 259.7x best-of-3, gap -5.4e-12.)
+round-4: lazy-H kernel, 259.7x best-of-3, gap -5.4e-12;
+round-5: windowed Vi extraction + DS-floor digit combines, 0.755 s =
+427.1x plateau, gap -5.5e-12.)
 
 Output: one JSON line {metric, value, unit, vs_baseline, ...}.
 """
