@@ -131,7 +131,7 @@ def _poisson_data(m, n, noise, randseed, normalizeA):
     return A, b
 
 
-def _regression_oracle(kind, A, b, oracle):
+def _regression_oracle(kind, A, b, oracle, levels=None):
     """Build the f-oracle for a Poisson/KL regression factory.
 
     ``oracle``: None (plain, ambient dtype), "mixed", "ds", or "auto".
@@ -140,7 +140,10 @@ def _regression_oracle(kind, A, b, oracle):
     entries), the DS-elementwise oracle with 5 digit levels — the KL
     frontier's best recorded row (DS+levels5 1.551 s = 89.7x vs mixed
     2.16 s at 20000x10000, BASELINE.md round 4); otherwise the plain
-    oracle (small problems and CPU f64 need no engine)."""
+    oracle (small problems and CPU f64 need no engine).  ``levels``
+    overrides the digit-plane count for the mixed/ds engines (so an
+    explicit oracle="ds", levels=5 reproduces exactly what "auto"
+    picks; the class default 7 is the ~1e-13 oracle grade)."""
     from ..ops.f_oracles import (KLdivRegression, KLdivRegressionDS,
                                  KLdivRegressionMixed, PoissonRegression,
                                  PoissonRegressionDS,
@@ -156,12 +159,13 @@ def _regression_oracle(kind, A, b, oracle):
         x64 = bool(jax.config.jax_enable_x64)
         oracle = ("ds" if (big and x64
                            and jax.default_backend() == "tpu") else None)
-        if oracle == "ds":
-            return dscls.from_data(A, b, levels=5)
+        if levels is None:
+            levels = 5  # the best recorded frontier row
+    kw = {} if levels is None else {"levels": levels}
     if oracle == "mixed":
-        return mixed.from_data(A, b)
+        return mixed.from_data(A, b, **kw)
     if oracle == "ds":
-        return dscls.from_data(A, b)
+        return dscls.from_data(A, b, **kw)
     if oracle is not None:
         raise ValueError(f"unknown oracle {oracle!r}; expected None, "
                          "'mixed', 'ds' or 'auto'")
@@ -169,26 +173,26 @@ def _regression_oracle(kind, A, b, oracle):
 
 
 def Poisson_regrL1(m, n, noise=0.01, lamda=0, randseed=-1, normalizeA=True,
-                   oracle=None):
+                   oracle=None, levels=None):
     """L1-regularized Poisson regression: min_{x>=0} D_KL(b, Ax) + lamda|x|_1
-    (reference: applications.py:98-134).  ``oracle``: see
+    (reference: applications.py:98-134).  ``oracle``/``levels``: see
     ``_regression_oracle`` ("auto" routes to the best measured engine)."""
     A, b = _poisson_data(m, n, noise, randseed, normalizeA)
-    f = _regression_oracle("poisson", A, b, oracle)
+    f = _regression_oracle("poisson", A, b, oracle, levels)
     return f, BurgEntropyL1(lamda=lamda), float(b.sum()), jnp.full(n, 10.0 / n)
 
 
 def Poisson_regrL2(m, n, noise=0.01, lamda=0, randseed=-1, normalizeA=True,
-                   oracle=None):
+                   oracle=None, levels=None):
     """L2-regularized Poisson regression (reference: applications.py:137-172).
-    ``oracle``: see ``_regression_oracle``."""
+    ``oracle``/``levels``: see ``_regression_oracle``."""
     A, b = _poisson_data(m, n, noise, randseed, normalizeA)
-    f = _regression_oracle("poisson", A, b, oracle)
+    f = _regression_oracle("poisson", A, b, oracle, levels)
     return f, BurgEntropyL2(lamda=lamda), float(b.sum()), jnp.full(n, 1.0 / n)
 
 
 def KL_nonneg_regr(m, n, noise=0.01, lamdaL1=0, randseed=-1, normalizeA=True,
-                   oracle=None):
+                   oracle=None, levels=None):
     """L1-regularized KL regression: min_{x>=0} D_KL(Ax, b) + lamda|x|_1
     with Shannon-entropy kernel, L = max column sum
     (reference: applications.py:175-206).  ``oracle``: see
@@ -201,7 +205,7 @@ def KL_nonneg_regr(m, n, noise=0.01, lamdaL1=0, randseed=-1, normalizeA=True,
     x = np.random.rand(n)
     b = A @ x + noise * (np.random.rand(m) - 0.5)
     assert b.min() > 0, "need b > 0 for nonnegative regression."
-    f = _regression_oracle("kl", A, b, oracle)
+    f = _regression_oracle("kl", A, b, oracle, levels)
     return f, ShannonEntropyL1(lamda=lamdaL1), float(A.sum(axis=0).max()), jnp.full(n, 0.5)
 
 
@@ -344,14 +348,12 @@ def FrobeniusSymLossResMeasEx(M, r, noise=0.0, oracle=None):
     f64 in the hot loop).  ``oracle="auto"`` picks "ds" on a TPU backend
     with x64 enabled and a large M (n >= ~1024), plain otherwise
     (VERDICT r4 #6)."""
-    import jax as _jax
-
     M = np.asarray(M)
     X0 = np.random.rand(M.shape[0], r)
     if oracle == "auto":
         oracle = ("ds" if (M.shape[0] >= 1024 and not noise
-                           and bool(_jax.config.jax_enable_x64)
-                           and _jax.default_backend() == "tpu") else None)
+                           and bool(jax.config.jax_enable_x64)
+                           and jax.default_backend() == "tpu") else None)
     h_cls = SumOf2nd4thPowersPositiveOrthant
     if oracle in ("mixed", "ds"):
         if noise:

@@ -1045,13 +1045,20 @@ def dopt_fw_pallas_lazy_batch(Vs, x0s, eps, num_iters, away=True,
     covers min(budget, 32 blocks) per dispatch and re-dispatches until all
     instances converge or the budget is spent.
 
-    ``refresh_every``: periodic host-f64 refactorization of every
-    still-running instance (cadence rounded UP to _KR-block granularity).
-    REQUIRED for deep targets at large m: the carried w drifts ~m*2^-49
-    above the true slack (same plateau as the DS scan — measured SN stuck
-    at 9.5e-8 >(eps=1e-8) for 1000x2000 KY-init runs without refresh,
-    while the fresh slack was far below the bar); the refresh resets the
-    drift so the eps exit fires at the honest iteration."""
+    ``refresh_every``: periodic DEVICE-SIDE w refresh (cadence rounded UP
+    to _KR-block granularity): w = diag(V^T H0 V) is recomputed against
+    the carried folded H0 by one int8 MXU GEMM + DS contract
+    (``_fresh_w``), vmapped over instances.  REQUIRED for deep targets at
+    large m: the carried w drifts ~m*2^-49 above the true slack (same
+    plateau as the DS scan — measured SN stuck at 9.5e-8 > eps=1e-8 for
+    1000x2000 KY-init runs without refresh, while the fresh slack was
+    far below the bar).  UNLIKE the single-instance engine's
+    ``refresh_every`` (a full host-f64 refactorization that also
+    re-anchors H0 and the logdet basis), this resets ONLY w: the H0 fold
+    drift (~1e-12 per 256-iteration block) and the incremental F basis
+    remain — both orders of magnitude below 1e-8 slack bars over any
+    real budget, and the host path measured 4x the whole sweep's kernel
+    time (~0.5 s per instance per refresh at 1000x2000)."""
     import contextlib
 
     on_tpu = jax.default_backend() == "tpu" and not interpret
@@ -1126,8 +1133,12 @@ def _dopt_fw_pallas_lazy_batch_impl(Vs, x0s, eps, num_iters, away=True,
     since_refresh = 0
     state = (H0h, H0l, H0p, sH0, xh, xl, wh, wl)  # multi's arg order
     while (~stopped).any() and (emitted[~stopped] < num_iters).any():
-        rem0 = jnp.asarray(
-            np.maximum(num_iters - emitted, 0.0).astype(np.float32))
+        # fold host-side stopped flags into the budgets: converged
+        # instances re-enter with kmax=0 and freeze for free (the
+        # in-dispatch done carry resets to 0 every multi call)
+        rem0 = jnp.asarray(np.where(
+            stopped, 0.0,
+            np.maximum(num_iters - emitted, 0.0)).astype(np.float32))
         carry, hists = multi(scal_base, rem0, V_packed, sV_dev, *state)
         (xh2, xl2, wh2, wl2, H0h2, H0l2, H0p2, sH02, done_d,
          rem_d) = carry

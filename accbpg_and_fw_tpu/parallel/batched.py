@@ -251,12 +251,17 @@ def _resolve_auto_batch_precision(Vs):
     lazy kernel's fixed ~20-primitive body dominates there).  The m
     threshold and VMEM bound follow the on-chip A/B in BASELINE.md
     (round 5)."""
+    from ..ops.pallas_dopt import _next_pow2
+    from ..ops.pallas_dopt_lazy import _LANE
+
     shape = getattr(Vs, "shape", None)
     if (jax.default_backend() == "tpu" and shape is not None
             and len(shape) == 3):
         _, m, n = shape
-        MP = max(8, 1 << (max(m, 8) - 1).bit_length())
-        NP = -(-n // 128) * 128
+        # the kernel builder's own padding rules (shared helpers, so the
+        # VMEM estimate cannot drift from the real packed-buffer sizes)
+        MP = _next_pow2(max(m, 8))
+        NP = -(-n // _LANE) * _LANE
         # double-buffered per-instance blocks must fit the compiler grant
         vmem_bytes = 2 * (8 * MP * NP + 8 * MP * MP)
         # m >= 64: measured on-chip A/B at K=3, n=1000, 20k iters (warm):

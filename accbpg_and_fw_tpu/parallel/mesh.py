@@ -68,10 +68,29 @@ def _pad_cols(H, x0, ndev):
     return H, x0
 
 
+# every column-indexed field a D-opt oracle may carry, with its sharding
+# spec builder: (field name, partition spec over (leading dims..., n))
+_DOPT_COL_FIELDS = (
+    ("H", ("*", "data")),          # DOptimalObj / DOptimalObjMixed
+    ("Vds_hi", ("*", "data")),     # DOptimalObjMixed DS planes
+    ("Vds_lo", ("*", "data")),
+    ("Vh", ("*", "data")),         # DOptimalObjDS DS planes
+    ("Vl", ("*", "data")),
+    ("Vd_rows", ("*", "*", "data")),   # (levels, m, n) int8 Gram planes
+    ("V_packed", ("*", "data")),   # (m, levels*n) packed MV planes
+    ("sV_cols", ("data",)),        # per-column scales
+)
+
+
 def shard_dopt_problem(f, x0, mesh: Mesh, axis_name: str = "data",
                        pad: bool = True):
-    """Place a DOptimalObj problem on a mesh: H columns and x shard over
-    ``axis_name``; returns ``(f_sharded, x0_sharded)``.
+    """Place a D-opt problem on a mesh: every column-indexed oracle field
+    (the design columns AND, for the Mixed/DS oracles, their digit/DS
+    planes and per-column scales) shards over ``axis_name``; returns
+    ``(f_sharded, x0_sharded)``.  Works for ``DOptimalObj``,
+    ``DOptimalObjMixed`` and ``DOptimalObjDS`` (round 5 — previously only
+    the f64 ``H`` leaf was device_put, leaving the Mixed oracle's
+    dominant digit-plane memory and contractions unsharded).
 
     When n is not a multiple of the mesh size and ``pad=True`` (default),
     the design is zero-padded to the next multiple — exactly neutral for
@@ -82,32 +101,49 @@ def shard_dopt_problem(f, x0, mesh: Mesh, axis_name: str = "data",
     so the returned oracle carries ``n_valid``: padded gradient entries
     report +1e30, which every prox maps to ~0 mass (DOptimalObj
     docstring) — ABDA on a padded mesh then matches the unpadded problem
-    (tests/test_parallel.py::test_abda_padded_mesh).
+    (tests/test_parallel.py::test_abda_padded_mesh).  Padding is
+    supported only for the plain ``DOptimalObj`` (the Mixed/DS digit
+    planes would need re-splitting): oracles without an ``n_valid`` field
+    get a clear error when padding would be required.
     """
     ndev = int(mesh.shape[axis_name])
-    H, x0 = jnp.asarray(f.H), jnp.asarray(x0)
-    n = H.shape[1]
-    n_valid = None
-    if pad:
-        H, x0 = _pad_cols(H, x0, ndev)
-        if H.shape[1] != n:
-            n_valid = n
-    col_sharding = NamedSharding(mesh, P(None, axis_name))
+    design = getattr(f, "H", None)
+    if design is None:
+        design = getattr(f, "Vh", None)  # DOptimalObjDS carries no f64 H
+    if design is None:
+        raise TypeError(
+            f"{type(f).__name__} carries neither an H nor a Vh design "
+            "field; shard_dopt_problem supports DOptimalObj, "
+            "DOptimalObjMixed and DOptimalObjDS.")
+    x0 = jnp.asarray(x0)
+    n = design.shape[-1]
     vec_sharding = NamedSharding(mesh, P(axis_name))
-    H = jax.device_put(H, col_sharding)
+    needs_pad = pad and (n % ndev != 0)
+    if needs_pad:
+        if not hasattr(f, "n_valid"):
+            raise ValueError(
+                f"{type(f).__name__} has no n_valid field, so it cannot "
+                f"be padded from n={n} to a multiple of {ndev} safely "
+                "(ABDA-style prox on duals would hand padded coordinates "
+                "mass, and Mixed/DS digit planes would need re-splitting)."
+                " Pass pad=False with a mesh-divisible n, or use "
+                "DOptimalObj.")
+        H, x0 = _pad_cols(jnp.asarray(f.H), x0, ndev)
+        H = jax.device_put(H, NamedSharding(mesh, P(None, axis_name)))
+        x0 = jax.device_put(x0, vec_sharding)
+        return replace(f, H=H, n_valid=n), x0
+
+    def spec(dims):
+        return NamedSharding(mesh, P(*(None if d == "*" else axis_name
+                                       for d in dims)))
+
+    updates = {}
+    for name, dims in _DOPT_COL_FIELDS:
+        v = getattr(f, name, None)
+        if v is not None:
+            updates[name] = jax.device_put(jnp.asarray(v), spec(dims))
     x0 = jax.device_put(x0, vec_sharding)
-    if n_valid is None:
-        # No padding occurred: don't require an n_valid field on the
-        # oracle (DOptimalObjMixed/DOptimalObjDS carry H but not
-        # n_valid; they remain shardable when n divides the mesh).
-        return replace(f, H=H), x0
-    if not hasattr(f, "n_valid"):
-        raise ValueError(
-            f"{type(f).__name__} has no n_valid field, so it cannot be "
-            f"padded from n={n} to {H.shape[1]} safely (ABDA-style prox "
-            "on duals would hand padded coordinates mass). Pass pad=False "
-            "with a mesh-divisible n, or use DOptimalObj.")
-    return replace(f, H=H, n_valid=n_valid), x0
+    return replace(f, **updates), x0
 
 
 def shard_dopt_design(V, x0, mesh: Mesh, axis_name: str = "data",

@@ -115,9 +115,41 @@ class TestShardedDOpt:
         f, h, L, x0 = acc.D_opt_design(8, 64, randseed=3, oracle="mixed")
         f_sh, x_sh = shard_dopt_problem(f, x0, mesh)  # 64 % 8 == 0
         assert f_sh.H.shape == (8, 64)
+        # round 5: the digit/DS planes shard too, not just the f64 H leaf
+        for name in ("Vds_hi", "Vds_lo", "Vd_rows", "V_packed", "sV_cols"):
+            sh = getattr(f_sh, name).sharding
+            assert not sh.is_fully_replicated, name
+        f2, _, _, x2 = acc.D_opt_design(8, 60, randseed=3, oracle="mixed")
         with pytest.raises(ValueError, match="n_valid"):
-            f2, _, _, x2 = acc.D_opt_design(8, 60, randseed=3, oracle="mixed")
             shard_dopt_problem(f2, x2, mesh)  # 60 % 8 != 0 -> clear error
+
+    def test_mixed_oracle_sharded_matches_single(self, mesh):
+        """Sharded-Mixed BPG == single-device (the planes actually carry
+        the contractions; parity proves the shardings are layout-safe)."""
+        f, h, L, x0 = acc.D_opt_design(8, 64, randseed=3, oracle="mixed")
+        import jax.numpy as jnp
+
+        x064 = jnp.asarray(np.asarray(x0), jnp.float64)
+        r1 = acc.BPG(f, h, L, x064, maxitrs=30, verbose=False)
+        f_sh, x_sh = shard_dopt_problem(f, x064, mesh)
+        r2 = acc.BPG(f_sh, h, L, x_sh, maxitrs=30, verbose=False)
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-11)
+
+    def test_ds_oracle_shardable(self, mesh):
+        """DOptimalObjDS (no H field) shards through the same entry
+        (round 5 — previously AttributeError at f.H)."""
+        f, h, L, x0 = acc.D_opt_design(10, 64, randseed=7)
+        V64 = np.asarray(f.H, np.float64)
+        fds = acc.DOptimalObjDS.from_design(V64)
+        x064 = np.full(64, 1.0 / 64)
+        r1 = acc.ABPG_gain(fds, h, L, x064, gamma=2, maxitrs=15,
+                           verbose=False, fast_gram="ds")
+        fds_sh, x_sh = shard_dopt_problem(fds, x064, mesh)
+        r2 = acc.ABPG_gain(fds_sh, h, L, x_sh, gamma=2, maxitrs=15,
+                           verbose=False, fast_gram="ds")
+        np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]),
+                                   rtol=1e-9)
 
     def test_fw_away_sharded_non_divisible_n(self, mesh):
         f, h, L, x0 = acc.D_opt_design(10, 50, randseed=4)
