@@ -47,13 +47,15 @@ def run_study(n, m_list, K, Nmax, seed=0, verbose=True):
                 Vs[k] = np.asarray(f.H, np.float64)
                 x0s[k] = np.asarray(acc.D_opt_KYinit(f.H), np.float64)
             t0 = time.time()
-            # precision="auto" (round 5): large-m rows route to the
-            # grid-batched lazy-H Pallas kernel (per-block H0 folds keep
-            # drift ~1e-12, no host refresh needed); small-m rows keep the
-            # vmapped DS scan, where refresh_every matters — at m >= ~300
-            # the incremental DS slack history plateaus ~m*2^-49 above the
-            # true slack and periodic host-f64 refactorization resets it
-            # so the 1e-8 exit fires at the honest iteration
+            # precision="auto" (round 5): rows from m >= 64 route to the
+            # grid-batched lazy-H Pallas kernel, where refresh_every is a
+            # cheap DEVICE-side w refresh (one int8 GEMM per cadence);
+            # smaller rows keep the vmapped DS scan with host-f64
+            # refactorization.  Either way the refresh matters for
+            # iteration-count honesty: the incremental slack history
+            # plateaus ~m*2^-49 above the true slack at large m, and the
+            # refresh resets it so deep-target exits fire at the honest
+            # iteration
             xb, Fb, SPb, SNb = dopt_fw_batch(Vs, x0s, eps=1e-8,
                                              num_iters=Nmax, away=away,
                                              precision="auto",
