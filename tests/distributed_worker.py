@@ -105,6 +105,15 @@ def main():
                  verbose=False)
     out["symnmf_F"] = float(np.asarray(rs[1])[-1])
 
+    # round 5: column-sharded MIXED oracle — the int8 digit planes and DS
+    # planes themselves shard (shard_dopt_problem now places every
+    # column-indexed field), so the Gram/MV contractions psum across the
+    # 2-process mesh at f64 grade
+    fm, hm, Lm, xm0 = acc.D_opt_design(8, 64, randseed=3, oracle="mixed")
+    fm_sh, xm_sh = shard_dopt_problem(fm, xm0, mesh)
+    rm = acc.BPG(fm_sh, hm, Lm, xm_sh, maxitrs=30, verbose=False)
+    out["mixed_F"] = float(np.asarray(rm[1])[-1])
+
     if pid == 0:
         print("RESULT " + json.dumps(out), flush=True)
 

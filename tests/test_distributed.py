@@ -102,3 +102,11 @@ class TestTwoProcessCluster:
         r = acc.BPG(f, h, L, X0, maxitrs=50, linesearch=False, verbose=False)
         assert abs(cluster_result["symnmf_F"]
                    - float(np.asarray(r[1])[-1])) < 1e-9
+
+    def test_column_sharded_mixed_oracle_parity(self, cluster_result):
+        """Round 5: the Mixed oracle's digit/DS planes shard across the
+        2-process mesh (previously only the f64 H leaf was placed)."""
+        f, h, L, x0 = acc.D_opt_design(8, 64, randseed=3, oracle="mixed")
+        r = acc.BPG(f, h, L, x0, maxitrs=30, verbose=False)
+        assert abs(cluster_result["mixed_F"]
+                   - float(np.asarray(r[1])[-1])) < 1e-9
