@@ -219,12 +219,27 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
         stop = (sp <= eps) & (sn <= eps)
         in_budget = k < kmax
 
-        t_t = _ds_div_fast(sp_ds, ds.add_f32(wi, -1.0), interpret)
+        # scalar DS divisions batched LANE-WISE (round 5): every (1, 1)
+        # primitive runs on a full 8x128 tile anyway, so packing the
+        # independent divisions into one (1, k) call divides their ~25-
+        # primitive long-division cost by k.  Lane values are identical
+        # to the separate calls (same arithmetic per lane) — trajectories
+        # are bit-unchanged.
+        def _cat(*vals):
+            return (jnp.concatenate([v[0] for v in vals], axis=1),
+                    jnp.concatenate([v[1] for v in vals], axis=1))
+
+        def _lane(q, i):
+            return (q[0][:, i:i + 1], q[1][:, i:i + 1])
+
         if away:
             xj = (jnp.sum(jnp.where(jmask, xh, 0.0), keepdims=True),
                   jnp.sum(jnp.where(jmask, xl, 0.0), keepdims=True))
-            a1 = _ds_div_fast(sn_ds, ds.add_f32(wj, -1.0), interpret)
-            a2 = _ds_div_fast(xj, ds.add_f32(ds.neg(xj), 1.0), interpret)
+            q1 = _ds_div_fast(
+                _cat(sp_ds, sn_ds, xj),
+                _cat(ds.add_f32(wi, -1.0), ds.add_f32(wj, -1.0),
+                     ds.add_f32(ds.neg(xj), 1.0)), interpret)
+            t_t, a1, a2 = _lane(q1, 0), _lane(q1, 1), _lane(q1, 2)
             use_a1 = ds.lt(a1, a2)
             t_a = ds.where(use_a1, a1, a2)
             toward = sp >= sn
@@ -233,16 +248,20 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
             tau = ds.where(toward, t_t, ds.neg(t_a))
             drop = jnp.logical_not(toward) & jnp.logical_not(use_a1)
         else:
+            t_t = _ds_div_fast(sp_ds, ds.add_f32(wi, -1.0), interpret)
             vmask = imask
             wv = wi
             tau = t_t
             drop = sp < -1.0  # all-False
 
         wv_m1 = ds.add_f32(wv, -1.0)
-        c_ = _ds_div_fast(tau, ds.add_f32(ds.mul(tau, wv_m1), 1.0), interpret)
-        one_m_tau = ds.add_f32(ds.neg(tau), 1.0)
         one_ds = (jnp.ones((1, 1), f32), jnp.zeros((1, 1), f32))
-        r_tau = _ds_div_fast(one_ds, one_m_tau, interpret)
+        q2 = _ds_div_fast(
+            _cat(tau, one_ds),
+            _cat(ds.add_f32(ds.mul(tau, wv_m1), 1.0),
+                 ds.add_f32(ds.neg(tau), 1.0)), interpret)
+        c_, r_tau = _lane(q2, 0), _lane(q2, 1)
+        one_m_tau = ds.add_f32(ds.neg(tau), 1.0)
 
         # ---- Vi digits via one-hot int8 matmul ---------------------------
         # column v of V, as its LEV packed digit rows: OH[p, l] = 1 iff
@@ -280,14 +299,21 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
                 Vi_d = Vi_d + lax.dot_general(
                     ohs, vp_ref[:, s0:s0 + sw], (((0,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-        # dequantize: Vi = sV[v] * sum_l d_l 64^-(l+1), Horner with exact
-        # power-of-two scalings and integer folds
+        # dequantize: Vi = sV[v] * sum_l d_l 64^-(l+1) as TWO exact int32
+        # Horner halves (round 5; replaces a 8-step DS Horner of ~40
+        # primitives).  Each half sums 4 rounded base-64 digits
+        # (|d| <= 33): |sum| <= 33*(64^3+64^2+64+1) ~ 2^23.1, exact in
+        # int32 AND in its f32 convert; the two power-of-two scaled
+        # halves then combine by one two_sum into the exact DS value.
         sv_v = jnp.sum(jnp.where(vmask, sv_ref[:], 0.0), keepdims=True)
-        acc = (jnp.zeros((1, MP), f32), jnp.zeros((1, MP), f32))
-        for l in range(LEV - 1, -1, -1):
-            acc = ds.mul_f32(acc, f32(1.0 / 64.0))
-            acc = ds.add_f32(acc, Vi_d[l:l + 1, :].astype(f32))
-        acc = ds.mul_f32(acc, f32(1.0 / 64.0))
+        hi_i = Vi_d[0:1, :]
+        for l in range(1, 4):
+            hi_i = hi_i * 64 + Vi_d[l:l + 1, :]
+        lo_i = Vi_d[4:5, :]
+        for l in range(5, LEV):
+            lo_i = lo_i * 64 + Vi_d[l:l + 1, :]
+        acc = ds.two_sum(hi_i.astype(f32) * f32(64.0 ** -4),
+                         lo_i.astype(f32) * f32(64.0 ** -8))
         Vi = (acc[0] * sv_v, acc[1] * sv_v)  # sV is a power of two: exact
 
         # ---- H0 v via the packed-H0 int8 GEMV ----------------------------
