@@ -193,17 +193,21 @@ def _lazy_kernel_body(m, MP, NP, KR, away, interpret,
         wi = (wmax_hi, wmax_lo)
 
         if away:
+            # away pivot: the reference's argmin(w - wi) over the support
+            # equals argmin(w) — subtracting the scalar wi is a monotone
+            # shift under the lexicographic (hi, lo) = total-value order —
+            # so select w[j]'s STORED pair directly (round 5: drops a full
+            # (1, NP) DS subtraction per iteration, and wj becomes the
+            # exact carried value instead of a sub/add round trip)
             mask = xh > xtol
-            wwh, wwl = ds.sub(w, wi)
-            mwh = jnp.where(mask, wwh, 0.0)
-            mwl = jnp.where(mask, wwl, 0.0)
-            mmin_hi = jnp.min(mwh, keepdims=True)
-            candj = mwh == mmin_hi
-            mmin_lo = jnp.min(jnp.where(candj, mwl, _BIG_F32), keepdims=True)
-            candj2 = candj & (mwl == mmin_lo)
+            mwh = jnp.where(mask, wh, _BIG_F32)
+            wmin_hi = jnp.min(mwh, keepdims=True)
+            candj = mask & (wh == wmin_hi)
+            wmin_lo = jnp.min(jnp.where(candj, wl, _BIG_F32), keepdims=True)
+            candj2 = candj & (wl == wmin_lo)
             jmin = jnp.min(jnp.where(candj2, lane, NP + 1), keepdims=True)
             jmask = lane == jmin
-            wj = ds.add((mmin_hi, mmin_lo), wi)
+            wj = (wmin_hi, wmin_lo)
         else:
             mask = xh > 0.0
             wmin_hi = jnp.min(jnp.where(mask, wh, _BIG_F32), keepdims=True)
