@@ -97,3 +97,15 @@ if __name__ == "__main__":
                           round(extra, 1),
                           "per_collective_us(3/iter)": round(extra / 3, 1)}),
               flush=True)
+        # round 5: a second point on the cross-process curve — 4 processes
+        # x 2 virtual devices (same 8-device global mesh, more transport
+        # edges per collective); the 2->4 growth rate feeds the multi-host
+        # projection's collective model (BASELINE.md scaling section)
+        four = run_case(4)
+        print(json.dumps(four), flush=True)
+        extra4 = (four["us_per_iter"] - one["us_per_iter"])
+        print(json.dumps({
+            "cross_process_overhead_us_per_iter_4p": round(extra4, 1),
+            "growth_2p_to_4p": round(
+                extra4 / extra if extra > 0 else float("nan"), 2)}),
+            flush=True)
