@@ -284,3 +284,13 @@ class TestSumPowersDSProx:
                                    rtol=1e-11)
         np.testing.assert_allclose(np.asarray(X2), np.asarray(X1),
                                    rtol=0, atol=1e-11)
+
+    def test_all_clipped_prox_is_zero(self):
+        """Positive-orthant clip of an all-negative mirror point: the
+        cubic degenerates to z = sigma and x = 0 exactly (no NaN from the
+        0/0-ish Cardano corner)."""
+        hds = acc.SumOf2nd4thPowersPositiveOrthantDS(alpha=2.0, sigma=1.5)
+        g = jnp.asarray(np.ones((8, 4)), jnp.float64)  # -g/L < 0 everywhere
+        x = np.asarray(hds.prox_map(g, 1.0))
+        assert np.isfinite(x).all()
+        np.testing.assert_array_equal(x, 0.0)

@@ -236,3 +236,17 @@ class TestLazyBatchInterpret:
             G = (Vs[k] * xs) @ Vs[k].T
             ww = np.einsum("ij,ij->j", Vs[k], np.linalg.solve(G, Vs[k]))
             assert ww.max() / m - 1.0 <= 2e-3
+
+    def test_batch_zero_budget(self):
+        """num_iters=0 returns empty histories without dispatching."""
+        from accbpg_and_fw_tpu.ops.pallas_dopt_lazy import (
+            dopt_fw_pallas_lazy_batch,
+        )
+
+        rng = np.random.default_rng(1)
+        Vs = rng.standard_normal((2, 8, 64))
+        x0s = np.full((2, 64), 1.0 / 64)
+        x, F, SP, SN = dopt_fw_pallas_lazy_batch(Vs, x0s, 1e-8, 0,
+                                                 interpret=True)
+        assert x.shape == (2, 64)
+        assert F.shape == SP.shape == SN.shape == (2, 0)
